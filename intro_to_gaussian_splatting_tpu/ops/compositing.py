@@ -1,0 +1,259 @@
+"""Front-to-back alpha compositing, formulated for the MXU.
+
+The reference composites with a per-pixel Python loop carrying transmittance
+T and breaking when T drops below a threshold (splat/gaussian_scene.py:146-171)
+or one CUDA thread per pixel doing the same scan (splat/c/render.cu:49-81).
+Neither maps to a TPU: there is no per-lane "break", and scalar loops starve
+the vector units.
+
+TPU-native formulation: compositing is a prefix product, and prefix sums are
+matmuls against a constant triangular matrix -- which the MXU does at full
+throughput. For a block of P pixels and a chunk of G depth-ordered gaussians:
+
+    alpha[p,i]   = clamp(opacity_i * exp(-0.5 d^T Sigma^-1 d), 0, 0.99)
+    s            = log1p(-alpha)                      # (P, G) elementwise, VPU
+    S_excl       = s @ L_strict                       # (P, G) = prefix sums, MXU
+    T[p,i]       = T_carry[p] * exp(S_excl[p,i])      # transmittance before i
+    include[p,i] = T[p,i] * (1 - alpha[p,i]) >= t_threshold
+    W            = T * alpha * include                # contribution weights
+    color_block  = W @ colors_chunk                   # (P, 3), MXU
+    T_carry     *= exp(S_excl[:, -1] + s[:, -1])
+
+``include`` reproduces the reference's early-exit *exactly*: with alpha <=
+alpha_clamp < 1, T is monotone decreasing, so "the first gaussian whose
+composite would push T below threshold breaks the loop permanently"
+(gaussian_scene.py:165-167, render.cu:72-76) is equivalent to the pointwise
+test above. (When emulating the un-clamped reference Python path, alpha can
+exceed 1 and monotonicity fails; ``exact_break=True`` adds an inclusive
+prefix-OR -- one more triangular matmul -- to freeze saturated pixels.)
+
+The same chunk function is used by the dense oracle renderer here, by the
+pure-JAX tiled renderer, and inside the Pallas TPU kernel, so all backends
+share one definition of the math.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+from intro_to_gaussian_splatting_tpu.models.camera import Camera
+from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
+from intro_to_gaussian_splatting_tpu.ops import projection as P
+from intro_to_gaussian_splatting_tpu.ops.projection import (
+    ProjectedGaussians,
+    pack_records,
+    project_gaussians,
+)
+
+# Floor on log1p(-alpha): e^-30 ~ 1e-13 is far below every T threshold, so
+# clamping here never changes which gaussians composite, but keeps -inf out
+# of the prefix matmuls.
+_LOG_FLOOR = -30.0
+
+
+def strict_lower_triangle(g: int, dtype=jnp.float32) -> jax.Array:
+    """L[j, i] = 1 where j < i, so (s @ L)[:, i] = exclusive prefix sum."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (rows < cols).astype(dtype)
+
+
+def incl_lower_triangle(g: int, dtype=jnp.float32) -> jax.Array:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (rows <= cols).astype(dtype)
+
+
+class CompositeCarry(NamedTuple):
+    transmittance: jax.Array  # (P, 1)
+    color: jax.Array          # (P, 3)
+    alive: jax.Array          # (P, 1) f32; only consulted when exact_break
+
+
+def init_carry(num_pixels: int, dtype=jnp.float32) -> CompositeCarry:
+    return CompositeCarry(
+        transmittance=jnp.ones((num_pixels, 1), dtype),
+        color=jnp.zeros((num_pixels, 3), dtype),
+        alive=jnp.ones((num_pixels, 1), dtype),
+    )
+
+
+def gaussian_alpha(px, py, rec, config: RasterizerConfig):
+    """Raw (unclamped) alpha of each gaussian at each pixel.
+
+    px, py: (P,) pixel coordinates; rec: (NUM_REC_ROWS, G) records.
+    Returns (P, G). Matches ref utils.py:357-365 + gaussian_scene.py:164.
+    """
+    dx = px[:, None] - rec[P.REC_MEAN_X][None, :]
+    dy = py[:, None] - rec[P.REC_MEAN_Y][None, :]
+    power = (rec[P.REC_CONIC_A][None, :] * dx * dx
+             + 2.0 * rec[P.REC_CONIC_B][None, :] * dx * dy
+             + rec[P.REC_CONIC_C][None, :] * dy * dy)
+    weight = jnp.exp(-0.5 * power)
+    return rec[P.REC_OPACITY][None, :] * weight
+
+
+def _effective_alpha(alpha_raw, px, py, rec, gmask, config: RasterizerConfig):
+    """Clamp + mask the raw alpha. gmask: (G,) or (P, G) inclusion mask."""
+    a = jnp.clip(alpha_raw, 0.0, config.alpha_clamp)
+    if config.alpha_min > 0.0:
+        a = jnp.where(alpha_raw >= config.alpha_min, a, 0.0)
+    if config.compat.pixel_bbox_test:
+        # CUDA path rejects pixels outside the gaussian's own bbox
+        # (render.cu:55-60); bbox tests are inclusive on both ends.
+        inb = ((px[:, None] >= rec[P.REC_MIN_X][None, :])
+               & (px[:, None] <= rec[P.REC_MAX_X][None, :])
+               & (py[:, None] >= rec[P.REC_MIN_Y][None, :])
+               & (py[:, None] <= rec[P.REC_MAX_Y][None, :]))
+        a = jnp.where(inb, a, 0.0)
+    if gmask.ndim == 1:
+        gmask = gmask[None, :]
+    return a * gmask.astype(a.dtype)
+
+
+def composite_chunk(
+    carry: CompositeCarry,
+    px: jax.Array,
+    py: jax.Array,
+    rec: jax.Array,
+    gmask: jax.Array,
+    config: RasterizerConfig,
+    exact_break: bool = False,
+) -> CompositeCarry:
+    """Composite one chunk of G depth-ordered gaussians into P pixels."""
+    g = rec.shape[1]
+    alpha_raw = gaussian_alpha(px, py, rec, config)
+    a = _effective_alpha(alpha_raw, px, py, rec, gmask, config)
+
+    s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
+    s_excl = jnp.dot(s, strict_lower_triangle(g, s.dtype),
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    T = carry.transmittance * jnp.exp(s_excl)                       # (P, G)
+
+    if exact_break:
+        # Reference-Python semantics: the break test uses the *unclamped*
+        # alpha, and saturation is permanent even where monotonicity fails.
+        masked_raw = jnp.where(a > 0.0, alpha_raw, 0.0)
+        bad = (T * (1.0 - masked_raw)
+               < config.t_threshold).astype(jnp.float32)
+        done = jnp.dot(bad, incl_lower_triangle(g, jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32) > 0.0
+        include = carry.alive * (1.0 - done.astype(jnp.float32))
+        new_alive = carry.alive * (1.0 - (done[:, -1:]).astype(jnp.float32))
+    else:
+        include = (T * (1.0 - a) >= config.t_threshold).astype(jnp.float32)
+        new_alive = carry.alive
+
+    w = T * a * include                                              # (P, G)
+    colors = jnp.stack(
+        [rec[P.REC_COLOR_R], rec[P.REC_COLOR_G], rec[P.REC_COLOR_B]], axis=1
+    )                                                                # (G, 3)
+    color = carry.color + jnp.dot(w, colors,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+    t_new = carry.transmittance * jnp.exp(s_excl[:, -1:] + s[:, -1:])
+    return CompositeCarry(transmittance=t_new, color=color, alive=new_alive)
+
+
+# ---------------------------------------------------------------------------
+# Dense oracle renderer: every pixel against every gaussian, no binning.
+# O(pixels * N) -- for tests and small scenes; it is the semantic ground
+# truth that the tiled/Pallas backends must match.
+# ---------------------------------------------------------------------------
+
+def tile_overlap_mask(px, py, rec, config: RasterizerConfig):
+    """(P, G) mask: does the gaussian's bbox overlap the pixel's tile?
+
+    Emulates the tile-level binning test of the tiled backends so the dense
+    renderer produces bit-identical output. Reference overlap test is
+    inclusive of the next tile's first pixel (gaussian_scene.py:209-218),
+    controlled by compat.inclusive_tile_overlap.
+    """
+    ts = config.tile_size
+    tx0 = (px // ts) * ts  # tile origin of each pixel
+    ty0 = (py // ts) * ts
+    if config.compat.inclusive_tile_overlap:
+        hi = float(ts)
+    else:
+        hi = float(ts - 1)
+    x_ov = ((rec[P.REC_MIN_X][None, :] <= tx0[:, None] + hi)
+            & (rec[P.REC_MAX_X][None, :] >= tx0[:, None]))
+    y_ov = ((rec[P.REC_MIN_Y][None, :] <= ty0[:, None] + hi)
+            & (rec[P.REC_MAX_Y][None, :] >= ty0[:, None]))
+    return x_ov & y_ov
+
+
+@partial(jax.jit, static_argnames=("config", "tile_culling", "exact_break",
+                                   "chunk", "active_sh_degree"))
+def render_dense(
+    model: GaussianModel,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+    tile_culling: bool = True,
+    exact_break: bool = False,
+    chunk: int = 256,
+    active_sh_degree: Optional[int] = None,
+) -> jax.Array:
+    """Render (height, width, 3) by compositing all gaussians per pixel.
+
+    Functional equivalent of ``GaussianScene.render_image``
+    (splat/gaussian_scene.py:200-238) minus the 5-minute Python loops.
+    """
+    proj = project_gaussians(model, camera, config, active_sh_degree)
+    rec, order = _sorted_records(proj)
+    h, w = camera.height, camera.width
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    px = xs.astype(jnp.float32)
+    py = ys.astype(jnp.float32)
+
+    gvalid = proj.valid[order]
+    n = rec.shape[1]
+    pad = (-n) % chunk
+    rec = jnp.pad(rec, ((0, 0), (0, pad)))
+    gvalid = jnp.pad(gvalid, (0, pad))
+
+    num_pix = h * w
+    carry = init_carry(num_pix)
+
+    def body(carry, xs_chunk):
+        rec_c, gvalid_c = xs_chunk
+        if tile_culling:
+            gmask = gvalid_c[None, :] & tile_overlap_mask(px, py, rec_c, config)
+        else:
+            gmask = gvalid_c
+        return composite_chunk(
+            carry, px, py, rec_c, gmask, config, exact_break=exact_break
+        ), None
+
+    rec_chunks = rec.reshape(P.NUM_REC_ROWS, -1, chunk).transpose(1, 0, 2)
+    valid_chunks = gvalid.reshape(-1, chunk)
+    carry, _ = jax.lax.scan(body, carry, (rec_chunks, valid_chunks))
+
+    image = carry.color.reshape(h, w, 3)
+    if config.compat.skip_last_tile:
+        # ref renders only x in [0, width - tile_size) etc. rounded to tiles
+        # (gaussian_scene.py:208,214): blank the unrendered margin.
+        ts = config.tile_size
+        lim_x = ((w - ts - 1) // ts + 1) * ts if w > ts else 0
+        lim_y = ((h - ts - 1) // ts + 1) * ts if h > ts else 0
+        xmask = (xs < lim_x) & (ys < lim_y)
+        image = image * xmask.reshape(h, w, 1).astype(image.dtype)
+    return image
+
+
+def _sorted_records(proj: ProjectedGaussians):
+    """Depth-sort (front to back) and pack records; invalid slots sort last.
+
+    ref: global ascending argsort on camera z, gaussian_scene.py:117-129."""
+    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(key)
+    rec = pack_records(proj)[:, order]
+    return rec, order

@@ -1,0 +1,185 @@
+"""Geometry pass: 3D gaussians -> screen-space splat records.
+
+Re-implements the reference's ``GaussianScene.preprocess``
+(splat/gaussian_scene.py:70-144) as one pure, jit-able, fully differentiable
+function over struct-of-array pytrees. Steps (same math, batched):
+
+  1. frustum cull: camera-space z >= min_z            (ref utils.py:293-310)
+  2. Sigma_3d = (R S)(R S)^T                          (ref gaussians.py:54-69)
+  3. NDC projection + ndc2Pix                         (ref gaussian_scene.py:87-97)
+  4. EWA 2D covariance (J W Sigma W^T J^T)[:2,:2]     (ref utils.py:320-354)
+  5. closed-form 2x2 inverse ("conic")                (ref utils.py:368-393)
+  6. 3-sigma screen radius via eigenvalues            (ref utils.py:409-423)
+  7. color: raw RGB (reference) or SH eval (3DGS)
+
+Instead of boolean-mask compaction (dynamic shapes, ref :76-78), culled
+gaussians keep their slots and carry ``valid=False`` -- the shapes stay static
+for XLA; the binning pass drops them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+from intro_to_gaussian_splatting_tpu.models.camera import Camera
+from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel, covariance_3d
+from intro_to_gaussian_splatting_tpu.models.sh import eval_sh
+from intro_to_gaussian_splatting_tpu.utils.nputil import matmul32
+
+# Feature-row indices of the packed splat record matrix (see pack_records).
+REC_MEAN_X = 0
+REC_MEAN_Y = 1
+REC_CONIC_A = 2   # inverse-covariance [0,0]
+REC_CONIC_B = 3   # inverse-covariance [0,1]
+REC_CONIC_C = 4   # inverse-covariance [1,1]
+REC_OPACITY = 5
+REC_COLOR_R = 6
+REC_COLOR_G = 7
+REC_COLOR_B = 8
+REC_DEPTH = 9
+REC_MIN_X = 10
+REC_MAX_X = 11
+REC_MIN_Y = 12
+REC_MAX_Y = 13
+NUM_REC_ROWS = 16  # padded to a multiple of 8 (f32 sublane tile)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjectedGaussians:
+    """Per-gaussian screen-space quantities, slot-aligned with the model."""
+
+    mean2d: jax.Array    # (N, 2) pixel coords
+    depth: jax.Array     # (N,) camera-space z
+    conic: jax.Array     # (N, 3) [a, b, c] of the 2x2 inverse covariance
+    radius: jax.Array    # (N,) screen-space radius, pixels (0 when invalid)
+    color: jax.Array     # (N, 3)
+    opacity: jax.Array   # (N,)
+    valid: jax.Array     # (N,) bool
+
+
+def ndc2pix(v: jax.Array, dim: int) -> jax.Array:
+    """ref: splat/utils.py:313-317."""
+    return (v + 1.0) * (dim - 1) * 0.5
+
+
+def project_gaussians(
+    model: GaussianModel,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+    active_sh_degree: int | None = None,
+) -> ProjectedGaussians:
+    f32 = jnp.float32
+    means = model.means.astype(f32)
+    n = means.shape[0]
+    ones = jnp.ones((n, 1), dtype=f32)
+    homog = jnp.concatenate([means, ones], axis=1)          # (N, 4)
+
+    w2v = camera.world2view.astype(f32)
+    p_view = matmul32(homog, w2v)                           # (N, 4), camera space
+    depth = p_view[:, 2]
+    in_frustum = depth >= config.frustum_min_z              # ref utils.py:294
+
+    # --- NDC -> pixel centers (ref gaussian_scene.py:87-97)
+    p_clip = matmul32(homog, camera.full_proj.astype(f32))
+    w = p_clip[:, 3:4]
+    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    p_ndc = p_clip[:, :3] / w_safe
+    mean2d = jnp.stack(
+        [ndc2pix(p_ndc[:, 0], camera.width), ndc2pix(p_ndc[:, 1], camera.height)],
+        axis=1,
+    )
+
+    # --- EWA 2D covariance (ref utils.py:320-354)
+    cov3d = covariance_3d(model.log_scales.astype(f32), model.quats.astype(f32))
+    z = p_view[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    limx = config.ewa_clamp * camera.tan_fovx
+    limy = config.ewa_clamp * camera.tan_fovy
+    x = jnp.clip(p_view[:, 0] / z_safe, -limx, limx) * z
+    y = jnp.clip(p_view[:, 1] / z_safe, -limy, limy) * z
+    fx, fy = camera.fx, camera.fy
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]   (N, 2, 3)
+    zeros = jnp.zeros_like(z)
+    J = jnp.stack([
+        jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], axis=1),
+        jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], axis=1),
+    ], axis=1)
+    W = w2v[:3, :3].T                                       # ref utils.py:352
+    JW = matmul32(J, W)                                     # (N, 2, 3)
+    cov2d = matmul32(matmul32(JW, cov3d), jnp.swapaxes(JW, 1, 2))  # (N, 2, 2)
+    a = cov2d[:, 0, 0] + config.cov2d_dilation
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + config.cov2d_dilation
+
+    # --- conic = closed-form inverse with det clamp (ref utils.py:368-393)
+    det = a * c - b * b
+    det_clamped = jnp.maximum(det, config.det_clamp)
+    conic = jnp.stack([c, -b, a], axis=1) / det_clamped[:, None]
+
+    # --- 3-sigma radius via eigenvalues (ref utils.py:409-423)
+    mid = 0.5 * (a + c)
+    disc = jnp.maximum(mid * mid - det, config.eig_floor)
+    lam_max = mid + jnp.sqrt(disc)
+    radius = jnp.ceil(config.radius_sigmas * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    # --- color
+    if model.color_space == "rgb":
+        color = model.sh[:, 0, :].astype(f32)
+    else:
+        deg = model.sh_degree if active_sh_degree is None else active_sh_degree
+        dirs = means - camera.cam_center.astype(f32)
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-8)
+        color = eval_sh(model.sh.astype(f32), dirs, deg)
+
+    # --- opacity activation (ref gaussian_scene.py:143; double-sigmoid quirk :164)
+    opacity = jax.nn.sigmoid(model.opacity_logits.astype(f32))
+    if config.compat.double_sigmoid:
+        opacity = jax.nn.sigmoid(opacity)
+
+    valid = in_frustum & model.active & (radius > 0)
+    # zero-out radius of invalid slots so binning emits no pairs for them
+    radius = jnp.where(valid, radius, 0.0)
+
+    return ProjectedGaussians(
+        mean2d=mean2d, depth=depth, conic=conic, radius=radius,
+        color=color, opacity=opacity, valid=valid,
+    )
+
+
+def pack_records(proj: ProjectedGaussians) -> jax.Array:
+    """Pack the projection outputs into the (NUM_REC_ROWS, N) feature-major
+    record matrix consumed by the rasterizer backends.
+
+    Feature-major (features on sublanes, gaussians on lanes) so that a chunk
+    of G gaussians loads as a (16, G) VMEM block whose rows broadcast directly
+    against (pixels, G) arrays.
+    """
+    radius = jax.lax.stop_gradient(proj.radius)
+    mean2d_ng = jax.lax.stop_gradient(proj.mean2d)
+    rows = [
+        proj.mean2d[:, 0],
+        proj.mean2d[:, 1],
+        proj.conic[:, 0],
+        proj.conic[:, 1],
+        proj.conic[:, 2],
+        proj.opacity,
+        proj.color[:, 0],
+        proj.color[:, 1],
+        proj.color[:, 2],
+        proj.depth,
+        # bbox rows are integer-valued tests, not differentiable
+        jnp.floor(mean2d_ng[:, 0] - radius),
+        jnp.ceil(mean2d_ng[:, 0] + radius),
+        jnp.floor(mean2d_ng[:, 1] - radius),
+        jnp.ceil(mean2d_ng[:, 1] + radius),
+    ]
+    rec = jnp.stack(rows, axis=0)
+    pad = NUM_REC_ROWS - rec.shape[0]
+    return jnp.concatenate([rec, jnp.zeros((pad, rec.shape[1]), rec.dtype)], axis=0)

@@ -1,0 +1,70 @@
+"""Golden parity: our dense renderer vs the reference Python rasterizer."""
+
+import numpy as np
+import pytest
+
+from intro_to_gaussian_splatting_tpu.config import CompatConfig, RasterizerConfig
+from intro_to_gaussian_splatting_tpu.ops.compositing import render_dense
+from tests.reference_oracle import load_reference
+from tests.scenes import reference_scene, small_scene
+
+COMPAT_CPU = RasterizerConfig(
+    compat=CompatConfig.REFERENCE_CPU, t_threshold=1e-6, alpha_clamp=0.9999
+)
+
+
+@pytest.fixture(scope="module")
+def splat():
+    return load_reference()
+
+
+@pytest.mark.parametrize("seed,n", [(7, 60), (11, 120)])
+def test_dense_render_matches_reference_cpu(splat, seed, n):
+    raw, cam, model = small_scene(n=n, width=32, height=32, seed=seed)
+    scene = reference_scene(splat, raw)
+    import torch
+    with torch.no_grad():
+        ref_img = scene.render_image(0, tile_size=16).numpy()  # (W, H, 3)
+
+    ours = np.asarray(render_dense(model, cam, COMPAT_CPU, exact_break=True))
+    # reference image layout is (width, height, 3) indexed [x, y]
+    # (gaussian_scene.py:206,227); ours is (H, W, 3)
+    np.testing.assert_allclose(ours.transpose(1, 0, 2), ref_img,
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_dense_render_nonempty_and_bounded():
+    raw, cam, model = small_scene(n=100, width=48, height=32, seed=5)
+    img = np.asarray(render_dense(model, cam, RasterizerConfig()))
+    assert img.shape == (32, 48, 3)
+    assert img.max() > 0.01, "image should not be empty"
+    assert img.min() >= 0.0
+    assert img.max() <= 1.0 + 1e-4
+
+
+def test_compat_flags_change_output():
+    raw, cam, model = small_scene(n=100, width=48, height=32, seed=5)
+    base = np.asarray(render_dense(model, cam, RasterizerConfig()))
+    compat = np.asarray(render_dense(model, cam, COMPAT_CPU, exact_break=True))
+    # double sigmoid lowers every opacity to <= sigmoid(1) ~ 0.73
+    assert not np.allclose(base, compat)
+    # skip_last_tile blanks the bottom/right margin of a 48x32 image
+    assert np.all(compat[:, 32:] == 0.0)
+
+
+def test_exact_break_matches_pointwise_when_clamped():
+    """With alpha <= clamp < 1, the monotone pointwise early-exit equals the
+    exact permanent-break emulation (see ops/compositing.py docstring)."""
+    raw, cam, model = small_scene(n=150, width=32, height=32, seed=2,
+                                  opacity_hi=8.0)
+    cfg = RasterizerConfig()
+    a = np.asarray(render_dense(model, cam, cfg, exact_break=False))
+    b = np.asarray(render_dense(model, cam, cfg, exact_break=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_background_is_black_where_no_gaussians():
+    raw, cam, model = small_scene(n=2, width=32, height=32, seed=9)
+    img = np.asarray(render_dense(model, cam, RasterizerConfig()))
+    # corners of a 2-gaussian scene are almost surely empty
+    assert img.sum() >= 0.0

@@ -101,8 +101,10 @@ def bin_gaussians(
     tx1 = jnp.floor(max_x / ts).astype(jnp.int32)
     ty1 = jnp.floor(max_y / ts).astype(jnp.int32)
 
-    tx0 = jnp.clip(tx0, 0, ntx - 1)
-    ty0 = jnp.clip(ty0, 0, nty - 1)
+    # intersect with the grid; an empty intersection (bbox fully off-screen)
+    # must yield span 0, so only the outward bound is clamped on each side
+    tx0 = jnp.maximum(tx0, 0)
+    ty0 = jnp.maximum(ty0, 0)
     tx1 = jnp.minimum(tx1, ntx - 1)
     ty1 = jnp.minimum(ty1, nty - 1)
     span_x = jnp.clip(tx1 - tx0 + 1, 0, config.max_span)

@@ -71,48 +71,54 @@ def incl_lower_triangle(g: int, dtype=jnp.float32) -> jax.Array:
 
 class CompositeCarry(NamedTuple):
     transmittance: jax.Array  # (P, 1)
-    color: jax.Array          # (P, 3)
+    accum: jax.Array          # (P, NUM_PAYLOAD) = [r, g, b, depth, alpha]
     alive: jax.Array          # (P, 1) f32; only consulted when exact_break
 
 
 def init_carry(num_pixels: int, dtype=jnp.float32) -> CompositeCarry:
     return CompositeCarry(
         transmittance=jnp.ones((num_pixels, 1), dtype),
-        color=jnp.zeros((num_pixels, 3), dtype),
+        accum=jnp.zeros((num_pixels, P.NUM_PAYLOAD), dtype),
         alive=jnp.ones((num_pixels, 1), dtype),
     )
+
+
+def _row(rec, i):
+    """Row i of the (NUM_REC_ROWS, G) record block as (1, G).
+
+    Written 2D-safe (slice, not integer index) so the same code lowers inside
+    Pallas kernels, where 1-D intermediates are not supported on TPU."""
+    return rec[i:i + 1, :]
 
 
 def gaussian_alpha(px, py, rec, config: RasterizerConfig):
     """Raw (unclamped) alpha of each gaussian at each pixel.
 
-    px, py: (P,) pixel coordinates; rec: (NUM_REC_ROWS, G) records.
+    px, py: (P, 1) pixel coordinates; rec: (NUM_REC_ROWS, G) records.
     Returns (P, G). Matches ref utils.py:357-365 + gaussian_scene.py:164.
     """
-    dx = px[:, None] - rec[P.REC_MEAN_X][None, :]
-    dy = py[:, None] - rec[P.REC_MEAN_Y][None, :]
-    power = (rec[P.REC_CONIC_A][None, :] * dx * dx
-             + 2.0 * rec[P.REC_CONIC_B][None, :] * dx * dy
-             + rec[P.REC_CONIC_C][None, :] * dy * dy)
+    dx = px - _row(rec, P.REC_MEAN_X)
+    dy = py - _row(rec, P.REC_MEAN_Y)
+    power = (_row(rec, P.REC_CONIC_A) * dx * dx
+             + 2.0 * _row(rec, P.REC_CONIC_B) * dx * dy
+             + _row(rec, P.REC_CONIC_C) * dy * dy)
     weight = jnp.exp(-0.5 * power)
-    return rec[P.REC_OPACITY][None, :] * weight
+    return _row(rec, P.REC_OPACITY) * weight
 
 
-def _effective_alpha(alpha_raw, px, py, rec, gmask, config: RasterizerConfig):
-    """Clamp + mask the raw alpha. gmask: (G,) or (P, G) inclusion mask."""
+def effective_alpha(alpha_raw, px, py, rec, gmask, config: RasterizerConfig):
+    """Clamp + mask the raw alpha. gmask: (1, G) or (P, G) inclusion mask."""
     a = jnp.clip(alpha_raw, 0.0, config.alpha_clamp)
     if config.alpha_min > 0.0:
         a = jnp.where(alpha_raw >= config.alpha_min, a, 0.0)
     if config.compat.pixel_bbox_test:
         # CUDA path rejects pixels outside the gaussian's own bbox
         # (render.cu:55-60); bbox tests are inclusive on both ends.
-        inb = ((px[:, None] >= rec[P.REC_MIN_X][None, :])
-               & (px[:, None] <= rec[P.REC_MAX_X][None, :])
-               & (py[:, None] >= rec[P.REC_MIN_Y][None, :])
-               & (py[:, None] <= rec[P.REC_MAX_Y][None, :]))
+        inb = ((px >= _row(rec, P.REC_MIN_X))
+               & (px <= _row(rec, P.REC_MAX_X))
+               & (py >= _row(rec, P.REC_MIN_Y))
+               & (py <= _row(rec, P.REC_MAX_Y)))
         a = jnp.where(inb, a, 0.0)
-    if gmask.ndim == 1:
-        gmask = gmask[None, :]
     return a * gmask.astype(a.dtype)
 
 
@@ -127,13 +133,14 @@ def composite_chunk(
 ) -> CompositeCarry:
     """Composite one chunk of G depth-ordered gaussians into P pixels."""
     g = rec.shape[1]
+    hi = jax.lax.Precision.HIGHEST
     alpha_raw = gaussian_alpha(px, py, rec, config)
-    a = _effective_alpha(alpha_raw, px, py, rec, gmask, config)
+    a = effective_alpha(alpha_raw, px, py, rec, gmask, config)
 
     s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
-    s_excl = jnp.dot(s, strict_lower_triangle(g, s.dtype),
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
+    s_excl = jax.lax.dot_general(
+        s, strict_lower_triangle(g, s.dtype), (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32)
     T = carry.transmittance * jnp.exp(s_excl)                       # (P, G)
 
     if exact_break:
@@ -142,9 +149,9 @@ def composite_chunk(
         masked_raw = jnp.where(a > 0.0, alpha_raw, 0.0)
         bad = (T * (1.0 - masked_raw)
                < config.t_threshold).astype(jnp.float32)
-        done = jnp.dot(bad, incl_lower_triangle(g, jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32) > 0.0
+        done = jax.lax.dot_general(
+            bad, incl_lower_triangle(g, jnp.float32), (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32) > 0.0
         include = carry.alive * (1.0 - done.astype(jnp.float32))
         new_alive = carry.alive * (1.0 - (done[:, -1:]).astype(jnp.float32))
     else:
@@ -152,14 +159,12 @@ def composite_chunk(
         new_alive = carry.alive
 
     w = T * a * include                                              # (P, G)
-    colors = jnp.stack(
-        [rec[P.REC_COLOR_R], rec[P.REC_COLOR_G], rec[P.REC_COLOR_B]], axis=1
-    )                                                                # (G, 3)
-    color = carry.color + jnp.dot(w, colors,
-                                  precision=jax.lax.Precision.HIGHEST,
-                                  preferred_element_type=jnp.float32)
+    payload = rec[P.PAYLOAD_START:, :]                               # (5, G)
+    accum = carry.accum + jax.lax.dot_general(
+        w, payload, (((1,), (1,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32)
     t_new = carry.transmittance * jnp.exp(s_excl[:, -1:] + s[:, -1:])
-    return CompositeCarry(transmittance=t_new, color=color, alive=new_alive)
+    return CompositeCarry(transmittance=t_new, accum=accum, alive=new_alive)
 
 
 # ---------------------------------------------------------------------------
@@ -177,16 +182,16 @@ def tile_overlap_mask(px, py, rec, config: RasterizerConfig):
     controlled by compat.inclusive_tile_overlap.
     """
     ts = config.tile_size
-    tx0 = (px // ts) * ts  # tile origin of each pixel
+    tx0 = (px // ts) * ts  # tile origin of each pixel, (P, 1)
     ty0 = (py // ts) * ts
     if config.compat.inclusive_tile_overlap:
         hi = float(ts)
     else:
         hi = float(ts - 1)
-    x_ov = ((rec[P.REC_MIN_X][None, :] <= tx0[:, None] + hi)
-            & (rec[P.REC_MAX_X][None, :] >= tx0[:, None]))
-    y_ov = ((rec[P.REC_MIN_Y][None, :] <= ty0[:, None] + hi)
-            & (rec[P.REC_MAX_Y][None, :] >= ty0[:, None]))
+    x_ov = ((_row(rec, P.REC_MIN_X) <= tx0 + hi)
+            & (_row(rec, P.REC_MAX_X) >= tx0))
+    y_ov = ((_row(rec, P.REC_MIN_Y) <= ty0 + hi)
+            & (_row(rec, P.REC_MAX_Y) >= ty0))
     return x_ov & y_ov
 
 
@@ -211,8 +216,8 @@ def render_dense(
     h, w = camera.height, camera.width
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
-    px = xs.astype(jnp.float32)
-    py = ys.astype(jnp.float32)
+    px = xs.astype(jnp.float32)[:, None]
+    py = ys.astype(jnp.float32)[:, None]
 
     gvalid = proj.valid[order]
     n = rec.shape[1]
@@ -228,7 +233,7 @@ def render_dense(
         if tile_culling:
             gmask = gvalid_c[None, :] & tile_overlap_mask(px, py, rec_c, config)
         else:
-            gmask = gvalid_c
+            gmask = gvalid_c[None, :]
         return composite_chunk(
             carry, px, py, rec_c, gmask, config, exact_break=exact_break
         ), None
@@ -237,7 +242,7 @@ def render_dense(
     valid_chunks = gvalid.reshape(-1, chunk)
     carry, _ = jax.lax.scan(body, carry, (rec_chunks, valid_chunks))
 
-    image = carry.color.reshape(h, w, 3)
+    image = carry.accum[:, :3].reshape(h, w, 3)
     if config.compat.skip_last_tile:
         # ref renders only x in [0, width - tile_size) etc. rounded to tiles
         # (gaussian_scene.py:208,214): blank the unrendered margin.

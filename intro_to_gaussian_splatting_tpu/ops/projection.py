@@ -31,21 +31,27 @@ from intro_to_gaussian_splatting_tpu.models.sh import eval_sh
 from intro_to_gaussian_splatting_tpu.utils.nputil import matmul32
 
 # Feature-row indices of the packed splat record matrix (see pack_records).
+# Geometry rows first; the differentiable "payload" rows [r, g, b, depth, 1]
+# are contiguous at the end so the rasterizer accumulates color, expected
+# depth, and alpha with a single (pixels, G) @ payload^T matmul.
 REC_MEAN_X = 0
 REC_MEAN_Y = 1
 REC_CONIC_A = 2   # inverse-covariance [0,0]
 REC_CONIC_B = 3   # inverse-covariance [0,1]
 REC_CONIC_C = 4   # inverse-covariance [1,1]
 REC_OPACITY = 5
-REC_COLOR_R = 6
-REC_COLOR_G = 7
-REC_COLOR_B = 8
-REC_DEPTH = 9
-REC_MIN_X = 10
-REC_MAX_X = 11
-REC_MIN_Y = 12
-REC_MAX_Y = 13
-NUM_REC_ROWS = 16  # padded to a multiple of 8 (f32 sublane tile)
+REC_MIN_X = 6
+REC_MAX_X = 7
+REC_MIN_Y = 8
+REC_MAX_Y = 9
+REC_COLOR_R = 11
+REC_COLOR_G = 12
+REC_COLOR_B = 13
+REC_DEPTH = 14
+REC_ONE = 15
+PAYLOAD_START = 11     # rows 11..15 = [r, g, b, depth, 1]
+NUM_PAYLOAD = 5
+NUM_REC_ROWS = 16  # a multiple of 8 (f32 sublane tile)
 
 
 @jax.tree_util.register_dataclass
@@ -163,6 +169,7 @@ def pack_records(proj: ProjectedGaussians) -> jax.Array:
     """
     radius = jax.lax.stop_gradient(proj.radius)
     mean2d_ng = jax.lax.stop_gradient(proj.mean2d)
+    zeros = jnp.zeros_like(proj.depth)
     rows = [
         proj.mean2d[:, 0],
         proj.mean2d[:, 1],
@@ -170,16 +177,16 @@ def pack_records(proj: ProjectedGaussians) -> jax.Array:
         proj.conic[:, 1],
         proj.conic[:, 2],
         proj.opacity,
-        proj.color[:, 0],
-        proj.color[:, 1],
-        proj.color[:, 2],
-        proj.depth,
         # bbox rows are integer-valued tests, not differentiable
         jnp.floor(mean2d_ng[:, 0] - radius),
         jnp.ceil(mean2d_ng[:, 0] + radius),
         jnp.floor(mean2d_ng[:, 1] - radius),
         jnp.ceil(mean2d_ng[:, 1] + radius),
+        zeros,                       # spare row 10
+        proj.color[:, 0],
+        proj.color[:, 1],
+        proj.color[:, 2],
+        proj.depth,
+        jnp.ones_like(proj.depth),   # alpha-accumulator payload row
     ]
-    rec = jnp.stack(rows, axis=0)
-    pad = NUM_REC_ROWS - rec.shape[0]
-    return jnp.concatenate([rec, jnp.zeros((pad, rec.shape[1]), rec.dtype)], axis=0)
+    return jnp.stack(rows, axis=0)

@@ -1,0 +1,123 @@
+"""Pallas tiled rasterizer vs the dense oracle: forward and gradients.
+
+Runs in interpret mode on the CPU test platform; the same kernels compile
+for real TPU (bench.py / test_tpu.py exercise that path on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_to_gaussian_splatting_tpu.config import CompatConfig, RasterizerConfig
+from intro_to_gaussian_splatting_tpu.ops.compositing import render_dense
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+from tests.scenes import small_scene
+
+# small chunks so multi-chunk paths are exercised by tiny scenes
+CFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+
+
+def _render_both(n=80, width=48, height=32, seed=7, cfg=CFG, **kw):
+    raw, cam, model = small_scene(n=n, width=width, height=height, seed=seed, **kw)
+    dense = np.asarray(render_dense(model, cam, cfg))
+    tiled = np.asarray(render_tiled(model, cam, cfg, interpret=True))
+    return dense, tiled, (raw, cam, model)
+
+
+def test_forward_matches_dense():
+    dense, tiled, _ = _render_both()
+    np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_matches_dense_many_gaussians():
+    # enough gaussians per tile to force several chunks and early exit
+    dense, tiled, _ = _render_both(n=400, seed=3, opacity_hi=6.0)
+    np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_nonsquare_with_partial_tiles():
+    dense, tiled, _ = _render_both(width=40, height=24, seed=5)
+    np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_cuda_compat_mode():
+    cfg = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32,
+                           compat=CompatConfig.REFERENCE_CUDA,
+                           t_threshold=1e-3)
+    dense, tiled, _ = _render_both(cfg=cfg)
+    np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_aux_outputs():
+    raw, cam, model = small_scene(n=100, width=32, height=32, seed=2)
+    img, aux = render_tiled(model, cam, CFG, return_aux=True, interpret=True)
+    assert not bool(aux["overflowed"])
+    alpha = np.asarray(aux["alpha"])
+    T = np.asarray(aux["transmittance"])
+    # alpha + T == 1 wherever compositing ran to completion or saturation
+    np.testing.assert_allclose(alpha + T, 1.0, atol=2e-3)
+    depth = np.asarray(aux["depth"])
+    assert (depth >= 0).all()
+
+
+def test_gradients_match_dense_autodiff():
+    """The hand-derived backward kernel vs autodiff of the dense oracle."""
+    raw, cam, model = small_scene(n=60, width=32, height=32, seed=11)
+    target = jnp.zeros((32, 32, 3))
+
+    def loss_dense(params):
+        img = render_dense(model.replace(**params), cam, CFG)
+        return jnp.sum((img - target) ** 2)
+
+    def loss_tiled(params):
+        img = render_tiled(model.replace(**params), cam, CFG, interpret=True)
+        return jnp.sum((img - target) ** 2)
+
+    params = model.params()
+    l_d, g_d = jax.value_and_grad(loss_dense)(params)
+    l_t, g_t = jax.value_and_grad(loss_tiled)(params)
+    np.testing.assert_allclose(float(l_t), float(l_d), rtol=1e-5)
+
+    for name in ["means", "log_scales", "quats", "opacity_logits", "sh"]:
+        a = np.asarray(g_d[name])
+        b = np.asarray(g_t[name])
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b, a, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"gradient mismatch for {name}")
+        assert np.abs(b).sum() > 0, f"zero gradient for {name}"
+
+
+def test_gradients_finite_differences():
+    """Spot-check the full pipeline gradient against central differences."""
+    raw, cam, model = small_scene(n=20, width=16, height=16, seed=4)
+
+    def loss(means):
+        img = render_tiled(model.replace(means=means), cam, CFG,
+                           interpret=True)
+        return jnp.sum(img)
+
+    g = np.asarray(jax.grad(loss)(model.means))
+    rng = np.random.default_rng(0)
+    # pick a few coordinates with non-trivial gradient
+    flat = np.abs(g).ravel()
+    idxs = np.argsort(flat)[-5:]
+    eps = 1e-3
+    means = np.asarray(model.means)
+    for idx in idxs:
+        i, j = np.unravel_index(idx, g.shape)
+        mp = means.copy(); mp[i, j] += eps
+        mm = means.copy(); mm[i, j] -= eps
+        fp = float(loss(jnp.asarray(mp)))
+        fm = float(loss(jnp.asarray(mm)))
+        fd = (fp - fm) / (2 * eps)
+        assert np.isfinite(fd)
+        np.testing.assert_allclose(g[i, j], fd, rtol=5e-2, atol=1e-3)
+
+
+def test_overflow_flag():
+    cfg = RasterizerConfig(chunk_size=32, pairs_per_gaussian=1)
+    raw, cam, model = small_scene(n=200, width=32, height=32, seed=8)
+    img, aux = render_tiled(model, cam, cfg, return_aux=True, interpret=True)
+    assert bool(aux["overflowed"]), "tiny pair budget should overflow"

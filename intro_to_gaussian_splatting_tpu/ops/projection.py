@@ -78,6 +78,7 @@ def project_gaussians(
     camera: Camera,
     config: RasterizerConfig = RasterizerConfig(),
     active_sh_degree: int | None = None,
+    mean2d_offset: jax.Array | None = None,
 ) -> ProjectedGaussians:
     f32 = jnp.float32
     means = model.means.astype(f32)
@@ -99,6 +100,10 @@ def project_gaussians(
         [ndc2pix(p_ndc[:, 0], camera.width), ndc2pix(p_ndc[:, 1], camera.height)],
         axis=1,
     )
+    if mean2d_offset is not None:
+        # zero-valued probe: grad w.r.t. it == screen-space positional
+        # gradient, the 3DGS densification criterion (train/densify.py)
+        mean2d = mean2d + mean2d_offset
 
     # --- EWA 2D covariance (ref utils.py:320-354)
     cov3d = covariance_3d(model.log_scales.astype(f32), model.quats.astype(f32))

@@ -124,10 +124,13 @@ def _fwd_kernel(starts_ref, counts_ref, rec_hbm, out_ref, rec_vmem, sem,
         alive=jnp.ones((pix, 1), jnp.float32),
     )
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
-    out_ref[0] = jnp.concatenate(
+    out = jnp.concatenate(
         [carry.accum, carry.transmittance,
          jnp.zeros((pix, OUT_CHANNELS - P.NUM_PAYLOAD - 1), jnp.float32)],
         axis=1)
+    # channel-major (C, PIX): lanes = pixels, so the (NT, C, PIX) HBM buffer
+    # needs no lane padding (a (NT, PIX, 8) layout costs 16x HBM padding)
+    out_ref[0] = out.T
 
 
 def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
@@ -142,7 +145,7 @@ def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
-                (1, pix, OUT_CHANNELS), lambda t, s, c: (t, 0, 0),
+                (1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
@@ -150,7 +153,7 @@ def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, pix, OUT_CHANNELS), jnp.float32),
+            (num_tiles, OUT_CHANNELS, pix), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -176,8 +179,8 @@ def _bwd_kernel(starts_ref, counts_ref, rec_hbm, out_tile_ref, g_tile_ref,
     nchunks = pl.cdiv(end, chunk)
     px, py = _tile_pixel_coords(t, ntx, ts)
 
-    g5 = g_tile_ref[0, :, 0:P.NUM_PAYLOAD]           # (PIX, 5) payload cotangent
-    out5 = out_tile_ref[0, :, 0:P.NUM_PAYLOAD]       # (PIX, 5) forward outputs
+    g5 = g_tile_ref[0, 0:P.NUM_PAYLOAD, :].T         # (PIX, 5) payload cotangent
+    out5 = out_tile_ref[0, 0:P.NUM_PAYLOAD, :].T     # (PIX, 5) forward outputs
     # U_all[p] = sum_j gc[p,j] * W[p,j] over ALL gaussians of this tile
     #          = sum_k g5[p,k] * out5[p,k]  (because out5 = W @ payload^T)
     u_all = jnp.sum(g5 * out5, axis=1, keepdims=True)  # (PIX, 1)
@@ -293,9 +296,9 @@ def _bwd_pallas(records_padded, starts, counts, tile_out, g_tile,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec((1, pix, OUT_CHANNELS), lambda t, s, c: (t, 0, 0),
+                pl.BlockSpec((1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pix, OUT_CHANNELS), lambda t, s, c: (t, 0, 0),
+                pl.BlockSpec((1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -373,10 +376,10 @@ rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
 # ---------------------------------------------------------------------------
 
 def untile(tile_out, ntx: int, nty: int, ts: int, height: int, width: int):
-    """(NT, ts*ts, C) -> (H, W, C)."""
-    c = tile_out.shape[-1]
-    img = tile_out.reshape(nty, ntx, ts, ts, c)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(nty * ts, ntx * ts, c)
+    """(NT, C, ts*ts) channel-major tiles -> (H, W, C)."""
+    c = tile_out.shape[1]
+    img = tile_out.reshape(nty, ntx, c, ts, ts)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(nty * ts, ntx * ts, c)
     return img[:height, :width]
 
 
@@ -390,6 +393,7 @@ def render_tiled(
     active_sh_degree: Optional[int] = None,
     return_aux: bool = False,
     interpret: Optional[bool] = None,
+    mean2d_offset: Optional[jax.Array] = None,
 ):
     """Full pipeline: project -> bin -> Pallas rasterize -> (H, W, 3)."""
     if interpret is None:
@@ -398,7 +402,8 @@ def render_tiled(
     ts = config.tile_size
     ntx, nty = tile_grid(w, h, ts)
 
-    proj = project_gaussians(model, camera, config, active_sh_degree)
+    proj = project_gaussians(model, camera, config, active_sh_degree,
+                             mean2d_offset)
     bins = bin_gaussians(proj, w, h, config)
     tile_out = rasterize_pairs(
         bins.pair_records, bins.tile_starts, bins.tile_counts,
@@ -419,6 +424,7 @@ def render_tiled(
             transmittance=jax.lax.stop_gradient(full[..., OUT_T]),
             overflowed=bins.overflowed,
             num_pairs=bins.num_pairs,
+            visible=jax.lax.stop_gradient(proj.valid),
         )
         return image, aux
     return image

@@ -1,0 +1,70 @@
+"""Training losses and image metrics.
+
+The reference has no loss/training of any kind (SURVEY.md section 0); this
+implements the standard 3DGS objective: (1-w)*L1 + w*(1-SSIM), plus PSNR.
+SSIM uses the standard 11x11 gaussian window as a depthwise convolution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
+    mse = jnp.mean((pred - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+@functools.lru_cache(maxsize=None)
+def _ssim_kernel(window: int, sigma: float):
+    import numpy as np
+    ax = np.arange(window) - (window - 1) / 2.0
+    g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+    k = np.outer(g, g)
+    k /= k.sum()
+    return jnp.asarray(k, dtype=jnp.float32)
+
+
+def _blur(x: jax.Array, window: int, sigma: float) -> jax.Array:
+    """Depthwise gaussian blur. x: (H, W, C)."""
+    c = x.shape[-1]
+    k = _ssim_kernel(window, sigma)
+    kernel = jnp.broadcast_to(k[:, :, None, None], (window, window, 1, c))
+    x4 = x[None]  # NHWC
+    return jax.lax.conv_general_dilated(
+        x4, kernel,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )[0]
+
+
+def ssim(pred: jax.Array, target: jax.Array,
+         window: int = 11, sigma: float = 1.5,
+         c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jax.Array:
+    """Mean SSIM over (H, W, 3) images in [0, 1]."""
+    mu_x = _blur(pred, window, sigma)
+    mu_y = _blur(target, window, sigma)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = _blur(pred * pred, window, sigma) - mu_x2
+    sigma_y = _blur(target * target, window, sigma) - mu_y2
+    sigma_xy = _blur(pred * target, window, sigma) - mu_xy
+    num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
+    den = (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.mean(num / den)
+
+
+def rgb_loss(pred: jax.Array, target: jax.Array,
+             ssim_weight: float = 0.2) -> jax.Array:
+    """(1-w) * L1 + w * (1 - SSIM) -- the 3DGS photometric objective."""
+    if ssim_weight == 0.0:
+        return l1(pred, target)
+    return ((1.0 - ssim_weight) * l1(pred, target)
+            + ssim_weight * (1.0 - ssim(pred, target)))

@@ -1,0 +1,229 @@
+"""3DGS optimization loop: Adam + densify/prune from COLMAP init.
+
+The reference never trains anything (its tensors request grad but no loss or
+optimizer exists, SURVEY.md section 0 / splat/gaussians.py:19-22); this is
+the standard 3DGS recipe on TPU: per-group Adam learning rates with an
+exponentially decaying means schedule scaled by scene extent, (1-w)L1 +
+w(1-SSIM) photometric loss, periodic clone/split/prune and opacity reset,
+all with jit-compatible fixed-capacity state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig, TrainConfig
+from intro_to_gaussian_splatting_tpu.models.camera import Camera
+from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+from intro_to_gaussian_splatting_tpu.train import densify as D
+from intro_to_gaussian_splatting_tpu.train.loss import psnr, rgb_loss
+
+
+def make_optimizer(config: TrainConfig, scene_extent: float):
+    """Per-parameter-group Adam, 3DGS learning rates."""
+    means_schedule = optax.exponential_decay(
+        init_value=config.lr_means * scene_extent,
+        transition_steps=config.iterations,
+        decay_rate=config.lr_means_final / config.lr_means,
+    )
+    txs = {
+        "means": optax.adam(means_schedule, b1=0.9, b2=0.999, eps=1e-15),
+        "log_scales": optax.adam(config.lr_scales, eps=1e-15),
+        "quats": optax.adam(config.lr_quats, eps=1e-15),
+        "opacity_logits": optax.adam(config.lr_opacity, eps=1e-15),
+        "sh": optax.adam(config.lr_sh0, eps=1e-15),
+    }
+    return optax.multi_transform(txs, param_labels={k: k for k in txs})
+
+
+@functools.partial(jax.jit, static_argnames=("rcfg", "tcfg", "tx",
+                                              "active_sh_degree"))
+def train_step(
+    model: GaussianModel,
+    opt_state,
+    dstate: D.DensifyState,
+    camera: Camera,
+    target: jax.Array,
+    rcfg: RasterizerConfig,
+    tcfg: TrainConfig,
+    tx,
+    active_sh_degree: int = 0,
+):
+    """One optimization step on one camera. Returns
+    (model, opt_state, dstate, metrics)."""
+    params = model.params()
+    probe = jnp.zeros((model.capacity, 2), jnp.float32)
+
+    def loss_fn(params, probe):
+        m = model.replace(**params)
+        img, aux = render_tiled(m, camera, rcfg,
+                                active_sh_degree=active_sh_degree,
+                                return_aux=True, mean2d_offset=probe)
+        loss = rgb_loss(img, target, tcfg.ssim_weight)
+        return loss, (img, aux)
+
+    (loss, (img, aux)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
+    param_grads, screen_grads = grads
+
+    updates, opt_state = tx.update(param_grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    # dead slots must not drift
+    new_model = model.replace(**jax.tree.map(
+        lambda new, old: jnp.where(
+            model.active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+        params, model.params()))
+
+    dstate = D.accumulate(dstate, screen_grads, aux["visible"])
+    metrics = dict(loss=loss, psnr=psnr(img, target),
+                   num_active=model.num_active,
+                   overflowed=aux["overflowed"])
+    return new_model, opt_state, dstate, metrics
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Drives the loop; holds host-side state (step counter, RNG)."""
+
+    model: GaussianModel
+    cameras: list            # list[Camera]
+    targets: list            # list[np.ndarray (H, W, 3)]
+    scene_extent: float
+    rcfg: RasterizerConfig = RasterizerConfig()
+    tcfg: TrainConfig = TrainConfig()
+    log_every: int = 50
+    on_log: Optional[Callable] = None
+
+    def __post_init__(self):
+        self.tx = make_optimizer(self.tcfg, self.scene_extent)
+        self.opt_state = self.tx.init(self.model.params())
+        self.dstate = D.DensifyState.zero(self.model.capacity)
+        self.key = jax.random.PRNGKey(self.tcfg.seed)
+        self.step = 0
+        self.history = []
+
+    @property
+    def active_sh_degree(self) -> int:
+        if self.model.color_space != "sh":
+            return 0
+        return min(self.model.sh_degree,
+                   self.step // self.tcfg.sh_degree_interval)
+
+    def run(self, iterations: Optional[int] = None):
+        iterations = iterations or self.tcfg.iterations
+        order = np.random.default_rng(self.tcfg.seed).permutation(
+            np.arange(iterations) % len(self.cameras))
+        t0 = time.time()
+        for it in range(iterations):
+            cam_idx = int(order[it])
+            target = self.targets[cam_idx]
+            if not isinstance(target, jnp.ndarray):
+                target = jnp.asarray(target, dtype=jnp.float32)
+                self.targets[cam_idx] = target
+            self.model, self.opt_state, self.dstate, metrics = train_step(
+                self.model, self.opt_state, self.dstate,
+                self.cameras[cam_idx], target,
+                self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
+            self.step += 1
+            self._maybe_densify()
+            if self.step % self.log_every == 0 or it == iterations - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=self.step, sec=round(time.time() - t0, 2))
+                self.history.append(m)
+                if self.on_log:
+                    self.on_log(m)
+        return self.history
+
+    def _maybe_densify(self):
+        t = self.tcfg
+        if t.densify_start <= self.step <= t.densify_stop and \
+                self.step % t.densify_interval == 0:
+            self.key, sub = jax.random.split(self.key)
+            max_new = max(self.model.capacity // 8, 1)
+            self.model, new_slots = D.densify(
+                self.model, self.dstate, sub, t, self.scene_extent, max_new)
+            self.model = D.prune(self.model, t, self.scene_extent)
+            self.opt_state = D.zero_slots(
+                self.opt_state, new_slots, self.model.capacity)
+            self.dstate = D.DensifyState.zero(self.model.capacity)
+        if t.opacity_reset_interval and \
+                self.step % t.opacity_reset_interval == 0 and self.step > 0:
+            self.model = D.reset_opacity(self.model)
+
+
+def scene_extent_of(points: np.ndarray) -> float:
+    """Radius of the camera/point bounding sphere (3DGS uses camera extent;
+    point extent is a serviceable stand-in)."""
+    center = points.mean(axis=0)
+    return float(np.linalg.norm(points - center, axis=1).max())
+
+
+# ---------------------------------------------------------------------------
+# CLI entry (gstpu train)
+# ---------------------------------------------------------------------------
+
+def train_cli(args) -> int:
+    from intro_to_gaussian_splatting_tpu.cli import _resolve_sparse, write_ppm
+    from intro_to_gaussian_splatting_tpu.io import read_model
+    from intro_to_gaussian_splatting_tpu.models import (
+        camera_from_colmap, init_from_points,
+    )
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        export_ply, save_checkpoint,
+    )
+
+    sparse = _resolve_sparse(args.scene)
+    cameras, images, points = read_model(sparse)
+    points = points.filter_by_track_length(args.min_track)
+
+    # ground-truth images: <scene>/images/<name> (downscaled); PIL decodes
+    targets, cams = [], []
+    img_dir = os.path.join(args.scene, "images")
+    from PIL import Image as PILImage
+    for iid in sorted(images.keys()):
+        im = images[iid]
+        path = os.path.join(img_dir, im.name)
+        if not os.path.exists(path):
+            continue
+        pil = PILImage.open(path)
+        cam = camera_from_colmap(cameras[im.camera_id], im, args.downscale)
+        pil = pil.resize((cam.width, cam.height))
+        targets.append(np.asarray(pil, dtype=np.float32)[..., :3] / 255.0)
+        cams.append(cam)
+    if not targets:
+        raise SystemExit(f"no ground-truth images found under {img_dir}")
+
+    tcfg = TrainConfig(iterations=args.iterations)
+    model = init_from_points(
+        points.xyz, points.rgb, sh_degree=tcfg.sh_degree, color_space="sh",
+        capacity=int(len(points) * tcfg.capacity_multiplier),
+        opacity=0.1, scale_init=None)
+    extent = scene_extent_of(points.xyz)
+
+    def log(m):
+        print(f"step {m['step']}: loss {m['loss']:.4f} "
+              f"psnr {m['psnr']:.2f} active {int(m['num_active'])}")
+
+    trainer = Trainer(model=model, cameras=cams, targets=targets,
+                      scene_extent=extent, tcfg=tcfg, on_log=log)
+    trainer.run(args.iterations)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_checkpoint(os.path.join(args.out_dir, "ckpt"), trainer.model,
+                    trainer.opt_state, trainer.step)
+    export_ply(os.path.join(args.out_dir, "point_cloud.ply"), trainer.model)
+    img = np.asarray(render_tiled(trainer.model, cams[0], trainer.rcfg,
+                                  active_sh_degree=trainer.active_sh_degree))
+    write_ppm(os.path.join(args.out_dir, "render.ppm"), img)
+    print(f"saved checkpoint + ply + render to {args.out_dir}")
+    return 0

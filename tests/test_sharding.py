@@ -1,0 +1,115 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig, TrainConfig
+from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+from intro_to_gaussian_splatting_tpu.parallel.mesh import make_mesh, mesh_shape
+from intro_to_gaussian_splatting_tpu.parallel.sharded import (
+    pad_rows,
+    shard_model,
+    sharded_render,
+    sharded_train_step,
+    strip_layout,
+)
+from intro_to_gaussian_splatting_tpu.train.trainer import make_optimizer
+from tests.scenes import small_scene
+
+RCFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, \
+        "tests expect the 8-device virtual CPU platform (conftest)"
+    return make_mesh(4, 2)
+
+
+def _scene(n=64, width=48, height=32, seed=13):
+    return small_scene(n=n, width=width, height=height, seed=seed)
+
+
+def test_mesh_shape(mesh):
+    assert mesh_shape(mesh) == (4, 2)
+
+
+def test_sharded_render_matches_single_device(mesh):
+    raw, cam, model = _scene()
+    single = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    sharded = np.asarray(
+        sharded_render(shard_model(model, mesh), cam, mesh, RCFG,
+                       interpret=True))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_render_odd_height(mesh):
+    # height not divisible by strips * tile_size -> padded rows masked
+    raw, cam, model = _scene(width=32, height=24, seed=17)
+    single = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    sharded = np.asarray(
+        sharded_render(shard_model(model, mesh), cam, mesh, RCFG,
+                       interpret=True))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_decreases_loss(mesh):
+    raw, cam, true_model = _scene(seed=23)
+    target = render_tiled(true_model, cam, RCFG, interpret=True)
+
+    key = jax.random.PRNGKey(1)
+    noisy = true_model.replace(
+        sh=true_model.sh + 0.3 * jax.random.normal(key, true_model.sh.shape))
+    model = shard_model(noisy, mesh)
+
+    n_strips = 8
+    strip_rows, padded_h = strip_layout(cam.height, RCFG.tile_size, n_strips)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    target_padded = jax.device_put(
+        pad_rows(target, padded_h),
+        NamedSharding(mesh, PS(("gauss", "tiles"))))
+
+    tcfg = TrainConfig(ssim_weight=0.0)
+    tx = make_optimizer(tcfg, scene_extent=1.0)
+    opt_state = tx.init(model.params())
+
+    losses = []
+    for _ in range(8):
+        model, opt_state, loss = sharded_train_step(
+            model, opt_state, cam, target_padded, mesh, RCFG, tcfg, tx,
+            interpret=True)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_sharded_gradients_match_single_device(mesh):
+    """Gradient parity: sharded loss == single-device loss and grads."""
+    raw, cam, model = _scene(n=32, width=32, height=32, seed=29)
+    target = render_tiled(model, cam, RCFG, interpret=True) * 0.5
+
+    # single-device L1 loss
+    def loss_single(params):
+        img = render_tiled(model.replace(**params), cam, RCFG, interpret=True)
+        return jnp.mean(jnp.abs(img - target))
+
+    gs = jax.grad(loss_single)(model.params())
+
+    from intro_to_gaussian_splatting_tpu.parallel.sharded import sharded_loss_fn
+    smodel = shard_model(model, mesh)
+    loss_fn, padded_h = sharded_loss_fn(
+        smodel, cam, mesh, RCFG, 0.0, None, True, cam.height)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    target_padded = jax.device_put(
+        pad_rows(target, padded_h), NamedSharding(mesh, PS(("gauss", "tiles"))))
+    l_sharded, gm = jax.value_and_grad(loss_fn)(smodel.params(), target_padded)
+
+    l_single = float(loss_single(model.params()))
+    np.testing.assert_allclose(float(l_sharded), l_single, rtol=1e-5)
+    for name in gs:
+        np.testing.assert_allclose(
+            np.asarray(gm[name]), np.asarray(gs[name]), rtol=2e-3, atol=1e-6,
+            err_msg=f"sharded grad mismatch: {name}")

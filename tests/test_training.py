@@ -1,0 +1,150 @@
+"""Training-loop tests: loss decreases, densify/prune bookkeeping, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig, TrainConfig
+from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+from intro_to_gaussian_splatting_tpu.train import densify as D
+from intro_to_gaussian_splatting_tpu.train.loss import psnr, rgb_loss, ssim
+from intro_to_gaussian_splatting_tpu.train.trainer import (
+    Trainer, scene_extent_of,
+)
+from tests.scenes import small_scene
+
+RCFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+
+
+def test_ssim_identity_and_range(rng):
+    img = jnp.asarray(rng.uniform(0, 1, size=(32, 32, 3)), jnp.float32)
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    noise = jnp.asarray(rng.uniform(0, 1, size=(32, 32, 3)), jnp.float32)
+    v = float(ssim(img, noise))
+    assert -1.0 <= v < 0.9
+
+
+def test_psnr_scale(rng):
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 0.1)
+    assert float(psnr(a, b)) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_training_improves_psnr():
+    """Optimize a perturbed model toward images of the true model."""
+    raw, cam, true_model = small_scene(n=40, width=32, height=32, seed=21,
+                                       scale_lo=0.08, scale_hi=0.3)
+    target = render_tiled(true_model, cam, RCFG, interpret=True)
+
+    key = jax.random.PRNGKey(0)
+    noisy = true_model.replace(
+        sh=true_model.sh + 0.3 * jax.random.normal(key, true_model.sh.shape),
+        opacity_logits=true_model.opacity_logits - 1.0,
+    )
+    tcfg = TrainConfig(iterations=25, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0)
+    trainer = Trainer(model=noisy, cameras=[cam], targets=[target],
+                      scene_extent=scene_extent_of(np.asarray(raw["points"])),
+                      rcfg=RCFG, tcfg=tcfg, log_every=5)
+    hist = trainer.run(25)
+    first, last = hist[0], hist[-1]
+    assert last["loss"] < first["loss"] * 0.9, hist
+    assert last["psnr"] > first["psnr"] + 0.5, hist
+
+
+def test_densify_clone_and_split():
+    raw, cam, model = small_scene(n=30, width=32, height=32, seed=3)
+    cap = 64
+    # embed in a larger pool
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((cap - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+    model = GaussianModel(
+        means=pad(model.means), log_scales=pad(model.log_scales, -10.0),
+        quats=pad(model.quats).at[30:, 0].set(1.0),
+        opacity_logits=pad(model.opacity_logits, -20.0),
+        sh=pad(model.sh), active=pad(model.active, False),
+        color_space="rgb")
+    state = D.DensifyState(
+        grad_accum=jnp.where(model.active, 1.0, 0.0),  # all above threshold
+        count=jnp.ones((cap,), jnp.int32))
+    tcfg = TrainConfig(densify_grad_threshold=1e-4,
+                       densify_scale_threshold=0.01)
+    new_model, slots = D.densify(model, state, jax.random.PRNGKey(0), tcfg,
+                                 scene_extent=1.0, max_new=16)
+    assert int(new_model.num_active) == 30 + 16
+    written = np.asarray(slots)
+    assert (written[np.asarray(slots) < cap] >= 30).all(), \
+        "new gaussians must land in free slots"
+    # split sources shrank
+    src_scales = np.exp(np.asarray(model.log_scales[:30]))
+    new_scales = np.exp(np.asarray(new_model.log_scales[:30]))
+    assert (new_scales <= src_scales + 1e-6).all()
+
+
+def test_densify_respects_capacity():
+    raw, cam, model = small_scene(n=20, width=32, height=32, seed=5)
+    state = D.DensifyState(
+        grad_accum=jnp.ones((20,)), count=jnp.ones((20,), jnp.int32))
+    tcfg = TrainConfig(densify_grad_threshold=1e-6)
+    # pool is full: nothing can be added, nothing crashes
+    new_model, slots = D.densify(model, state, jax.random.PRNGKey(1), tcfg,
+                                 scene_extent=1.0, max_new=8)
+    assert int(new_model.num_active) == 20
+    assert (np.asarray(slots) == 20).all()
+
+
+def test_prune_and_opacity_reset():
+    raw, cam, model = small_scene(n=25, width=32, height=32, seed=6)
+    model = model.replace(
+        opacity_logits=model.opacity_logits.at[:5].set(-10.0))
+    tcfg = TrainConfig()
+    pruned = D.prune(model, tcfg, scene_extent=10.0)
+    assert int(pruned.num_active) == 20
+    reset = D.reset_opacity(model)
+    op = np.asarray(jax.nn.sigmoid(reset.opacity_logits))
+    assert (op <= 0.0101).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    from intro_to_gaussian_splatting_tpu.train.trainer import make_optimizer
+
+    raw, cam, model = small_scene(n=15, width=16, height=16, seed=9)
+    tx = make_optimizer(TrainConfig(), scene_extent=1.0)
+    opt_state = tx.init(model.params())
+    save_checkpoint(str(tmp_path / "ck"), model, opt_state, step=42)
+
+    blank = jax.tree.map(jnp.zeros_like, model)
+    blank = blank.replace(color_space=model.color_space)
+    restored, ropt, step = load_checkpoint(
+        str(tmp_path / "ck"), blank, jax.tree.map(jnp.zeros_like, opt_state))
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(restored.means),
+                                  np.asarray(model.means))
+    np.testing.assert_array_equal(np.asarray(restored.active),
+                                  np.asarray(model.active))
+
+
+def test_ply_export_import_roundtrip(tmp_path):
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        export_ply, import_ply,
+    )
+    raw, cam, model = small_scene(n=12, width=16, height=16, seed=10)
+    # give it a deg-1 SH to exercise f_rest
+    sh = jnp.concatenate(
+        [model.sh, 0.1 * jnp.ones((12, 3, 3), jnp.float32)], axis=1)
+    model = model.replace(sh=sh, color_space="sh")
+    path = str(tmp_path / "gs.ply")
+    export_ply(path, model)
+    back = import_ply(path)
+    np.testing.assert_allclose(np.asarray(back.means),
+                               np.asarray(model.means), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.sh),
+                               np.asarray(model.sh), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(back.quats),
+                               np.asarray(model.quats), rtol=1e-6)

@@ -69,6 +69,37 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_points(args) -> int:
+    """Point-projection sanity render (reference SURVEY.md section 3.5:
+    GaussianScene.render_points_image, splat/gaussian_scene.py:44-51)."""
+    from intro_to_gaussian_splatting_tpu.ops.points import render_points_image
+    model, cam, points = _load(args)
+    t0 = time.time()
+    img = np.asarray(render_points_image(
+        np.asarray(points.xyz, np.float32),
+        np.asarray(points.rgb, np.float32) / 255.0,
+        cam, splat_radius=args.radius))
+    print(f"projected {len(points)} points in {time.time() - t0:.3f}s")
+    write_ppm(args.output, img)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+    from intro_to_gaussian_splatting_tpu.ops.render import render
+    from intro_to_gaussian_splatting_tpu.utils.profiling import benchmark
+    model, cam, points = _load(args)
+    config = RasterizerConfig(tile_size=args.tile_size)
+    res = benchmark(render, model, cam, config, backend=args.backend,
+                    iters=args.iters)
+    print(f"{cam.width}x{cam.height}, {len(points)} gaussians, "
+          f"backend={args.backend}: {res.mean_s * 1e3:.2f} ms/frame "
+          f"({res.mpix_per_s(cam.width, cam.height):.1f} Mpix/s), "
+          f"compile {res.compile_s:.1f}s")
+    return 0
+
+
 def cmd_info(args) -> int:
     from intro_to_gaussian_splatting_tpu.io import read_model
     sparse = _resolve_sparse(args.scene)
@@ -99,6 +130,19 @@ def main(argv=None) -> int:
     p.add_argument("--tile-size", type=int, default=16)
     p.add_argument("--backend", choices=["auto", "dense", "pallas"], default="auto")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("points", help="point-projection sanity render")
+    _add_scene_args(p)
+    p.add_argument("--output", "-o", default="points.ppm")
+    p.add_argument("--radius", type=int, default=1, help="point splat radius, px")
+    p.set_defaults(fn=cmd_points)
+
+    p = sub.add_parser("bench", help="time the renderer on a scene view")
+    _add_scene_args(p)
+    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--backend", choices=["auto", "dense", "pallas"], default="auto")
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("info", help="print scene statistics")
     _add_scene_args(p)

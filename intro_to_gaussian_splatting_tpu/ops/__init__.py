@@ -4,6 +4,10 @@ from intro_to_gaussian_splatting_tpu.ops.projection import (
 )
 from intro_to_gaussian_splatting_tpu.ops.compositing import render_dense
 from intro_to_gaussian_splatting_tpu.ops.binning import TileBins, bin_gaussians
+from intro_to_gaussian_splatting_tpu.ops.points import (
+    project_points,
+    render_points_image,
+)
 
 __all__ = [
     "ProjectedGaussians",
@@ -11,4 +15,6 @@ __all__ = [
     "render_dense",
     "TileBins",
     "bin_gaussians",
+    "project_points",
+    "render_points_image",
 ]

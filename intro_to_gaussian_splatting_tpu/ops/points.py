@@ -1,0 +1,106 @@
+"""Point-projection sanity path.
+
+The reference's de-facto correctness check (SURVEY.md section 3.5) projects
+the raw COLMAP 3D points into a camera and compares against COLMAP's stored
+2D keypoints: ``GaussianScene.render_points_image``
+(splat/gaussian_scene.py:44-51) ->
+``GaussianImage.project_point_to_camera_perspective_projection``
+(splat/image.py:72-89), which is frustum cull -> homog @ full_proj -> /w ->
+ndc2Pix.  Also covers the standalone ``project_points`` helper
+(splat/utils.py:55-75).
+
+TPU-native version: one jitted batched transform returning slot-aligned
+pixel coordinates + validity (no dynamic-shape compaction), and a scatter
+rasterization of the point cloud into an (H, W, 3) image buffer for visual
+inspection -- the reference instead returns a filtered coordinate list and
+scatter-plots it with matplotlib.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from intro_to_gaussian_splatting_tpu.models.camera import Camera
+from intro_to_gaussian_splatting_tpu.ops.projection import ndc2pix
+from intro_to_gaussian_splatting_tpu.utils.nputil import matmul32
+
+
+@functools.partial(jax.jit, static_argnames=("min_z",))
+def project_points(points: jax.Array, camera: Camera, min_z: float = 0.2):
+    """World-space points -> pixel coordinates.
+
+    ref: splat/image.py:72-89 (cull -> NDC -> pix) and splat/utils.py:55-75.
+
+    Returns ``(xy, depth, valid)``: (N, 2) pixel coords, (N,) camera-space z,
+    and an (N,) bool mask (in front of the near plane AND inside the image).
+    Culled slots keep their position with ``valid=False`` -- static shapes.
+    """
+    f32 = jnp.float32
+    pts = points.astype(f32)
+    n = pts.shape[0]
+    homog = jnp.concatenate([pts, jnp.ones((n, 1), f32)], axis=1)
+
+    p_view = matmul32(homog, camera.world2view.astype(f32))
+    depth = p_view[:, 2]
+    in_front = depth >= min_z                       # ref image.py:76-80
+
+    p_clip = matmul32(homog, camera.full_proj.astype(f32))
+    w = p_clip[:, 3:4]
+    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    p_ndc = p_clip[:, :3] / w_safe                  # ref image.py:82-86
+    x = ndc2pix(p_ndc[:, 0], camera.width)          # ref image.py:87-88
+    y = ndc2pix(p_ndc[:, 1], camera.height)
+    xy = jnp.stack([x, y], axis=1)
+
+    on_screen = (x >= 0) & (x < camera.width) & (y >= 0) & (y < camera.height)
+    return xy, depth, in_front & on_screen
+
+
+@functools.partial(jax.jit, static_argnames=("splat_radius",))
+def render_points_image(
+    points: jax.Array,
+    colors: jax.Array,
+    camera: Camera,
+    background: float = 1.0,
+    splat_radius: int = 1,
+):
+    """Scatter the projected point cloud into an (H, W, 3) image.
+
+    TPU-native analogue of the reference's matplotlib scatter oracle
+    (splat/gaussian_scene.py:44-51 + cpu_render.ipynb cell 5): nearest point
+    wins per pixel (depth-resolved via a min-scatter), drawn as
+    (2r+1)x(2r+1) squares so sparse clouds remain visible at full res.
+    """
+    h, w = camera.height, camera.width
+    xy, depth, valid = project_points(points, camera)
+    xi = jnp.round(xy[:, 0]).astype(jnp.int32)
+    yi = jnp.round(xy[:, 1]).astype(jnp.int32)
+
+    r = splat_radius
+    offsets = [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+    def pixel_index(dx, dy):
+        xs = jnp.clip(xi + dx, 0, w - 1)
+        ys = jnp.clip(yi + dy, 0, h - 1)
+        return jnp.where(valid, ys * w + xs, h * w)  # h*w = dropped slot
+
+    # pass 1: per-pixel min depth (scatter-min is duplicate-safe)
+    z = jnp.where(valid, depth, jnp.inf)
+    flat_z = jnp.full((h * w,), jnp.inf, dtype=jnp.float32)
+    for dx, dy in offsets:
+        flat_z = flat_z.at[pixel_index(dx, dy)].min(z, mode="drop")
+
+    # pass 2: only the depth winners write their color (losers are routed to
+    # the dropped slot -- a plain .set with duplicate indices would let a
+    # loser overwrite the winner)
+    flat_rgb = jnp.full((h * w, 3), background, dtype=jnp.float32)
+    cols = colors.astype(jnp.float32)
+    for dx, dy in offsets:
+        idx = pixel_index(dx, dy)
+        won = valid & (flat_z[idx] >= z)
+        flat_rgb = flat_rgb.at[jnp.where(won, idx, h * w)].set(
+            cols, mode="drop")
+    return flat_rgb.reshape(h, w, 3)

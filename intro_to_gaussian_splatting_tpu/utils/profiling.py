@@ -1,0 +1,125 @@
+"""Profiling & roofline accounting.
+
+The reference's only instrumentation is a wall clock around the CUDA call
+plus ``torch.cuda.synchronize()`` (splat/gaussian_scene.py:269,283-284) and
+tqdm bars on the tile loop (SURVEY.md section 5).  Here:
+
+  * ``trace(...)``      -- context manager around ``jax.profiler.trace``
+                           (produces a TensorBoard/xprof trace directory);
+  * ``benchmark(...)``  -- compile-once, block-until-ready wall timing with
+                           warmup, returning per-iteration stats;
+  * ``rasterizer_roofline(...)`` -- analytic FLOP/byte counts for the
+                           compositing kernel so measured Mpix/s can be
+                           compared against the chip's compute/bandwidth
+                           ceilings (the BASELINE "within 1.5x of roofline"
+                           metric).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/gstpu_trace", enabled: bool = True):
+    """``with trace("/tmp/t"): run_step()`` -> xprof trace in log_dir."""
+    if not enabled:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+@dataclasses.dataclass
+class BenchResult:
+    mean_s: float
+    min_s: float
+    std_s: float
+    iters: int
+    compile_s: float
+
+    def mpix_per_s(self, width: int, height: int) -> float:
+        return width * height / 1e6 / self.mean_s
+
+
+def _block(x):
+    return jax.tree_util.tree_map(
+        lambda l: l.block_until_ready() if hasattr(l, "block_until_ready") else l,
+        x)
+
+
+def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 2,
+              **kwargs) -> BenchResult:
+    """Time ``fn(*args, **kwargs)`` with proper device synchronization.
+
+    First call is timed separately as compile time (the analogue of the
+    reference's excluded nvcc JIT compile, splat/gaussian_scene.py:267).
+    """
+    t0 = time.perf_counter()
+    _block(fn(*args, **kwargs))
+    compile_s = time.perf_counter() - t0
+    for _ in range(max(0, warmup - 1)):
+        _block(fn(*args, **kwargs))
+    samples = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _block(fn(*args, **kwargs))
+        samples.append(time.perf_counter() - t0)
+    s = np.asarray(samples)
+    return BenchResult(mean_s=float(s.mean()), min_s=float(s.min()),
+                       std_s=float(s.std()), iters=iters, compile_s=compile_s)
+
+
+@dataclasses.dataclass
+class Roofline:
+    flops: float            # total f32 FLOPs in the compositing pass
+    hbm_bytes: float        # records streamed + tile outputs written
+    mxu_flops: float        # portion running on the MXU (matmuls)
+    pixels: float
+
+    def bound(self, peak_flops: float, peak_bw: float) -> float:
+        """Lower-bound kernel time (s) on a chip with the given ceilings."""
+        return max(self.flops / peak_flops, self.hbm_bytes / peak_bw)
+
+
+# Per (pixel, gaussian-pair) cost of composite_chunk (ops/compositing.py):
+# alpha eval ~18 VPU flops; log1p/exp transmittance ~8; two (PIX,G)@(G,G)
+# triangular matmuls at 2G flops/elem dominate on the MXU.
+_VPU_FLOPS_PER_PAIR_PIXEL = 26.0
+
+
+def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
+                        num_tiles: int, rec_rows: int = 16,
+                        out_channels: int = 8) -> Roofline:
+    """Analytic cost model for one forward pass of the Pallas rasterizer.
+
+    ``num_pairs`` is the total (tile, gaussian) pair count after binning
+    (bins.num_pairs).  Chunks are padded to ``chunk_size``, so account at
+    chunk granularity like the hardware does.
+    """
+    pix = tile_size * tile_size
+    chunks = np.ceil(num_pairs / chunk_size) + num_tiles  # +1 avg pad per tile
+    pair_slots = chunks * chunk_size
+    # MXU: prefix-product triangular matmul (PIX,G)@(G,G) and payload
+    # accumulate (PIX,G)@(G,5) per chunk.
+    mxu = pair_slots * pix * 2 * (chunk_size + 5)
+    vpu = pair_slots * pix * _VPU_FLOPS_PER_PAIR_PIXEL
+    hbm = pair_slots * rec_rows * 4 + num_tiles * pix * out_channels * 4
+    return Roofline(flops=mxu + vpu, hbm_bytes=hbm, mxu_flops=mxu,
+                    pixels=num_tiles * pix)
+
+
+# Public per-chip ceilings (from published TPU specs) for convenience.
+TPU_PEAKS = {
+    # name: (peak f32-equivalent MXU FLOP/s, HBM bytes/s)
+    "v4": (137e12, 1.2e12),
+    "v5e": (98e12, 0.82e12),
+    "v5p": (229e12, 2.77e12),
+    "v6e": (459e12, 1.64e12),
+}

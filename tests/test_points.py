@@ -1,0 +1,79 @@
+"""Point-projection sanity path (ops/points.py) vs the reference
+``GaussianImage.project_point_to_camera_perspective_projection``
+(splat/image.py:72-89), plus the profiling helpers."""
+
+import numpy as np
+import pytest
+
+from intro_to_gaussian_splatting_tpu.ops.points import (
+    project_points,
+    render_points_image,
+)
+from tests.reference_oracle import load_reference
+from tests.scenes import reference_scene, small_scene
+
+
+@pytest.fixture(scope="module")
+def splat():
+    return load_reference()
+
+
+def test_project_points_matches_reference(splat):
+    raw, cam, model = small_scene(n=120, seed=11)
+    scene = reference_scene(splat, raw)
+    import torch
+
+    with torch.no_grad():
+        ref_xy, _ = scene.images[0].project_point_to_camera_perspective_projection(
+            torch.tensor(raw["points"], dtype=torch.float32),
+            torch.tensor(raw["colors"], dtype=torch.float32))
+    xy, depth, valid = project_points(model.means, cam)
+    xy = np.asarray(xy)
+    valid = np.asarray(valid)
+
+    # The reference culls (z >= 0.2) then returns pixel coords for survivors
+    # (including off-screen ones); ours additionally marks off-screen points
+    # invalid, so compare on the common in-frustum set.
+    in_frustum = np.asarray(depth) >= 0.2
+    assert in_frustum.sum() == ref_xy.shape[0]
+    np.testing.assert_allclose(
+        xy[in_frustum], ref_xy.numpy()[:, :2], rtol=1e-4, atol=2e-3)
+    # every valid point is also in-frustum and on-screen
+    assert np.all(in_frustum[valid])
+    w, h = raw["width"], raw["height"]
+    assert np.all((xy[valid, 0] >= 0) & (xy[valid, 0] < w))
+    assert np.all((xy[valid, 1] >= 0) & (xy[valid, 1] < h))
+
+
+def test_render_points_image_shapes_and_hits():
+    raw, cam, model = small_scene(n=80, seed=5)
+    colors = np.asarray(model.sh[:, 0, :])
+    img = np.asarray(render_points_image(model.means, colors, cam,
+                                         background=1.0, splat_radius=1))
+    assert img.shape == (cam.height, cam.width, 3)
+    # some pixels must differ from the background
+    assert (np.abs(img - 1.0) > 1e-6).any()
+    # nearest-point-wins: all written colors come from the input palette
+    written = img[np.abs(img - 1.0).sum(-1) > 1e-6]
+    d = np.abs(written[:, None, :] - colors[None, :, :]).sum(-1).min(1)
+    assert d.max() < 1e-5
+
+
+def test_benchmark_helper():
+    from intro_to_gaussian_splatting_tpu.utils.profiling import (
+        benchmark, rasterizer_roofline, TPU_PEAKS,
+    )
+    import jax.numpy as jnp
+
+    def f(x):
+        return jnp.sin(x).sum()
+
+    res = benchmark(f, jnp.arange(1024.0), iters=3, warmup=1)
+    assert res.mean_s > 0 and res.min_s <= res.mean_s
+    assert res.mpix_per_s(100, 100) > 0
+
+    r = rasterizer_roofline(num_pairs=100_000, tile_size=16, chunk_size=256,
+                            num_tiles=330)
+    assert r.flops > 0 and r.hbm_bytes > 0 and r.mxu_flops <= r.flops
+    peak_f, peak_b = TPU_PEAKS["v5e"]
+    assert r.bound(peak_f, peak_b) > 0

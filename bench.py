@@ -16,6 +16,7 @@ vs_baseline > 1 means faster than the reference's forward-only CUDA renderer
 while also computing gradients it does not have.
 """
 
+import functools
 import json
 import sys
 import time
@@ -60,62 +61,102 @@ def main():
     config = RasterizerConfig()
     interpret = backend != "tpu"
 
-    def bench_case(name, model, iters=5):
-        def fwd():
-            return render_tiled(model, cam, config, interpret=interpret)
+    # IMPORTANT (axon/remote-TPU): model and cam must be explicit jit
+    # ARGUMENTS, never closure captures. A closed-over device array becomes
+    # an MLIR constant at lower() time, which forces a device->host fetch of
+    # its value -- and device->host transfers block forever through the
+    # remote-TPU tunnel. Same reason there are no float()/np.asarray()
+    # fetches of device results anywhere on the TPU path here.
+    def loss(params, model, cam):
+        img = render_tiled(model.replace(**params), cam, config,
+                           interpret=interpret)
+        return jnp.sum(img * img)
 
-        def loss(params):
-            img = render_tiled(model.replace(**params), cam, config,
+    grad_fn = jax.jit(jax.grad(loss))
+    fwd_fn = functools.partial(render_tiled, config=config,
                                interpret=interpret)
-            return jnp.sum(img * img)
 
-        grad_fn = jax.jit(jax.grad(loss))
-        params = model.params()
+    mpix = width * height / 1e6
+    iters = 5
 
-        log(f"[{name}] compiling forward ...")
-        img = fwd().block_until_ready()           # compile + warmup
+    def host_timed(fn, *args):
+        """Host wall clock per iteration -- valid where block_until_ready
+        actually synchronizes (CPU, local TPU VMs)."""
         t0 = time.perf_counter()
         for _ in range(iters):
-            img = fwd()
-        img.block_until_ready()
-        fwd_s = (time.perf_counter() - t0) / iters
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
 
-        log(f"[{name}] compiling backward ...")
-        g = jax.block_until_ready(grad_fn(params))  # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            g = grad_fn(params)
-        jax.block_until_ready(g)
-        fb_s = (time.perf_counter() - t0) / iters
-
-        mpix = width * height / 1e6
-        log(f"[{name}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
-            f"fwd+bwd {fb_s*1e3:.1f} ms ({mpix/fb_s:.1f} Mpix/s) | "
-            f"img mean {float(img.mean()):.4f}")
-        return mpix / fwd_s, mpix / fb_s
-
-    # 1. reference-equivalent workload: constant 1e-3 scales (tiny splats),
-    #    opacity inverse_sigmoid(0.9999) -- exactly the reference init.
+    # reference-equivalent workload: constant 1e-3 scales (tiny splats),
+    # opacity inverse_sigmoid(0.9999) -- exactly the reference init.
     model_ref = init_from_points(xyz, rgb)
-    fwd_ref, fb_ref = bench_case("ref-init", model_ref)
+    params = model_ref.params()
 
-    # 2. trained-like workload: KNN scale init, moderate opacity (denser
-    #    coverage, more pairs per tile). Reported for honesty; not the
-    #    headline (the reference never benchmarks this).
-    try:
-        model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
-        bench_case("knn-init", model_knn, iters=3)
-    except Exception as e:  # noqa: BLE001
-        log("knn-init case failed:", e)
+    log("compiling forward ...")
+    jax.block_until_ready(fwd_fn(model_ref, cam))
+    log("compiling backward ...")
+    jax.block_until_ready(grad_fn(params, model_ref, cam))
+
+    if backend == "tpu":
+        # On remote-tunneled TPU, dispatch is async and block_until_ready
+        # does NOT synchronize (host wall clocks read out impossibly fast).
+        # The profiler's device lanes record true on-device times, so time
+        # through one trace session and read back the module durations.
+        from intro_to_gaussian_splatting_tpu.utils.profiling import (
+            device_module_durations,
+        )
+        prof_dir = "/tmp/gstpu_bench_prof"
+        import shutil
+        shutil.rmtree(prof_dir, ignore_errors=True)
+        log("tracing timed iterations ...")
+        with jax.profiler.trace(prof_dir):
+            for _ in range(iters):
+                img = fwd_fn(model_ref, cam)
+            for _ in range(iters):
+                g = grad_fn(params, model_ref, cam)
+            jax.block_until_ready((img, g))
+        log("parsing device trace ...")
+        fwd_durs = device_module_durations(prof_dir, "jit_render_tiled")
+        bwd_durs = device_module_durations(prof_dir, "jit_loss")
+        log(f"device durations: fwd {[round(d*1e3,1) for d in fwd_durs]} ms, "
+            f"bwd {[round(d*1e3,1) for d in bwd_durs]} ms")
+        if fwd_durs and bwd_durs:
+            fwd_s = float(np.median(fwd_durs))
+            fb_s = float(np.median(bwd_durs))  # grad module includes fwd+bwd
+        else:
+            log("WARNING: no device trace events found; "
+                "falling back to host clocks (may over-report)")
+            fwd_s = host_timed(fwd_fn, model_ref, cam)
+            fb_s = host_timed(grad_fn, params, model_ref, cam)
+    else:
+        fwd_s = host_timed(fwd_fn, model_ref, cam)
+        fb_s = host_timed(grad_fn, params, model_ref, cam)
+
+    log(f"fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
+        f"fwd+bwd {fb_s*1e3:.1f} ms ({mpix/fb_s:.1f} Mpix/s)")
 
     baseline_mpix_s = 6.8  # reference CUDA forward-only (BASELINE.md)
     result = {
         "metric": "fwd+bwd Mpix/s/chip @ treehill scale (52k gaussians, 16.8 Mpix)",
-        "value": round(fb_ref, 2),
+        "value": round(mpix / fb_s, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(fb_ref / baseline_mpix_s, 2),
+        "vs_baseline": round(mpix / fb_s / baseline_mpix_s, 2),
     }
     print(json.dumps(result))
+
+    # optional denser workload (KNN scale init): opt-in, stderr-only, never
+    # allowed to starve the headline JSON above.
+    import os
+    if os.environ.get("GSTPU_BENCH_EXTRA") == "1":
+        model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
+        pk = model_knn.params()
+        jax.block_until_ready(fwd_fn(model_knn, cam))
+        jax.block_until_ready(grad_fn(pk, model_knn, cam))
+        fwd_k = host_timed(fwd_fn, model_knn, cam)
+        fb_k = host_timed(grad_fn, pk, model_knn, cam)
+        log(f"[knn-init, host clocks] fwd {fwd_k*1e3:.1f} ms | "
+            f"fwd+bwd {fb_k*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -164,7 +164,13 @@ def init_from_points(
     if scale_init is not None:
         log_scales[:n] = np.log(scale_init)
     else:
-        d = np.asarray(knn_mean_scale(jnp.asarray(points, dtype=jnp.float32)))
+        # Pin the KNN to the host CPU backend: np.asarray of an
+        # accelerator-resident result is a device->host transfer, which some
+        # remote-TPU transports cannot service, and an O(N^2/chunk) KNN is
+        # init-time work that does not belong on the accelerator anyway.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            d = np.asarray(
+                knn_mean_scale(jnp.asarray(points, dtype=jnp.float32)))
         log_scales[:n] = np.log(np.maximum(d, 1e-7))[:, None]
 
     quats = np.zeros((cap, 4), dtype=np.float32)

@@ -115,6 +115,80 @@ def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
                     pixels=num_tiles * pix)
 
 
+def _load_trace_events(log_dir: str):
+    """Newest profile under log_dir -> (trace_json_dict) or None."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    runs = sorted(glob.glob(os.path.join(log_dir, "plugins", "profile", "*")))
+    if not runs:
+        return None
+    traces = glob.glob(os.path.join(runs[-1], "*.trace.json.gz"))
+    if not traces:
+        return None
+    with gzip.open(traces[0]) as f:
+        return json.load(f)
+
+
+def device_module_durations(log_dir: str, name_substr: str):
+    """Device-side per-execution durations (seconds) of jitted modules whose
+    name contains ``name_substr``, from the newest xprof run in log_dir.
+
+    This reads the 'XLA Modules' lane of the device process, i.e. true
+    on-device execution time -- immune to async dispatch (host wall clocks
+    under-measure by arbitrary factors when ``block_until_ready`` does not
+    synchronize, as on remote-tunneled TPU transports).
+    """
+    tr = _load_trace_events(log_dir)
+    if tr is None:
+        return []
+    events = tr.get("traceEvents", [])
+    dev_pids = set()
+    module_tids = {}          # (pid, tid) for thread_name == 'XLA Modules'
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and "device" in str(
+                e.get("args", {}).get("name", "")).lower():
+            dev_pids.add(e.get("pid"))
+        if e.get("name") == "thread_name" and \
+                e.get("args", {}).get("name") == "XLA Modules":
+            module_tids[(e.get("pid"), e.get("tid"))] = True
+    durs = []
+    for e in events:
+        if e.get("ph") != "X" or name_substr not in e.get("name", ""):
+            continue
+        pid = e.get("pid")
+        if pid in dev_pids and (pid, e.get("tid")) in module_tids:
+            durs.append(e["dur"] / 1e6)  # trace durs are microseconds
+    return durs
+
+
+def profile_device_time(fn, *args, iters: int = 5, warmup: int = 1,
+                        name_substr: Optional[str] = None,
+                        log_dir: str = "/tmp/gstpu_prof") -> list:
+    """Run ``fn(*args)`` under a profiler trace and return the on-device
+    duration (s) of each traced execution of the jitted module.
+
+    ``name_substr`` defaults to ``jit_<fn.__name__>``-ish matching: pass the
+    jitted function's name (e.g. "render_tiled") explicitly when wrapping.
+    """
+    import shutil
+
+    if name_substr is None:
+        name_substr = getattr(fn, "__name__", "jit_")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    for _ in range(warmup):
+        _block(fn(*args))
+    with jax.profiler.trace(log_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        _block(out)
+    return device_module_durations(log_dir, name_substr)
+
+
 # Public per-chip ceilings (from published TPU specs) for convenience.
 TPU_PEAKS = {
     # name: (peak f32-equivalent MXU FLOP/s, HBM bytes/s)

@@ -24,8 +24,12 @@ import time
 import numpy as np
 
 
+_T0 = time.perf_counter()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - _T0:7.1f}s]", *a, file=sys.stderr,
+          flush=True)
 
 
 def main():

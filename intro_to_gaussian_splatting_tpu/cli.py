@@ -119,9 +119,24 @@ def cmd_train(args) -> int:
     return train_cli(args)
 
 
+def _select_platform(platform: str) -> None:
+    """Pin the JAX platform BEFORE the first jax import takes effect.
+
+    `--cpu` / GSTPU_PLATFORM=cpu exists because some TPU transports (e.g.
+    remote-tunneled TPUs) block device->host transfers indefinitely, which
+    every CLI command needs to write images; jax.config wins over the
+    JAX_PLATFORMS env var under such transports."""
+    import jax
+    jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="gstpu",
                                      description="TPU-native gaussian splatting")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on host CPU (see also GSTPU_PLATFORM=cpu)")
+    parser.add_argument("--platform", default=None,
+                        help="explicit jax platform (cpu/tpu)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("render", help="render one view of a COLMAP scene")
@@ -155,6 +170,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)
+    import os
+    platform = args.platform or os.environ.get("GSTPU_PLATFORM")
+    if args.cpu:
+        platform = "cpu"
+    if platform:
+        _select_platform(platform)
     return args.fn(args)
 
 

@@ -59,7 +59,11 @@ class RasterizerConfig:
     """Static knobs for the projection + binning + compositing pipeline."""
 
     tile_size: int = 16           # pixels per tile side (ref: gaussian_scene.py:200)
-    chunk_size: int = 256         # gaussians composited per VMEM chunk (Pallas)
+    # Gaussians composited per VMEM chunk in the Pallas rasterizer. Chunks
+    # ride SUBLANES (pixels ride lanes), so this is the per-tile work
+    # quantum: small values waste nothing on sparse tiles, large values
+    # amortize loop/DMA overhead on dense ones. Must be a multiple of 8.
+    chunk_size: int = 16
     # Transmittance early-exit threshold. Reference: 1e-6 (Python,
     # gaussian_scene.py:153), 1e-3 (CUDA, render.cu:73). We default between.
     t_threshold: float = 1e-4
@@ -83,14 +87,16 @@ class RasterizerConfig:
     # covers at least ~a pixel. Keep 0.0 for reference parity.
     cov2d_dilation: float = 0.0
     # Static capacity of the (tile, gaussian) pair buffer, as a multiple of
-    # the number of gaussians. Overflowing pairs are dropped far-to-near.
-    pairs_per_gaussian: int = 16
+    # the number of gaussians. Overflowing gaussians are dropped far-to-near
+    # (whole gaussians, so per-tile ranges stay exact).
+    pairs_per_gaussian: int = 8
     # Cap on the number of tiles a single gaussian may span per axis.
     max_span: int = 32
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def __post_init__(self):
         assert self.tile_size > 0 and self.chunk_size > 0
+        assert self.chunk_size % 8 == 0, "chunk_size must be a multiple of 8"
         assert self.alpha_clamp <= 0.9999, "alpha must stay < 1 for log1p"
 
 

@@ -98,8 +98,15 @@ def make_colmap_scene(
     width: int = 128,
     height: int = 96,
     seed: int = 0,
+    write_images: bool = False,
 ) -> str:
-    """Write a synthetic COLMAP sparse model to ``out_dir/sparse/0``."""
+    """Write a synthetic COLMAP sparse model to ``out_dir/sparse/0``.
+
+    With ``write_images=True`` also renders a ground-truth image per camera
+    (dense renderer over the synthetic cloud with soft splats) into
+    ``out_dir/images/`` so the full training surface (`gstpu train`) can run
+    against a purely synthetic scene -- the reference's dataset is
+    network-fetched (get_data.sh:1) and unreachable offline."""
     sparse = os.path.join(out_dir, "sparse", "0")
     os.makedirs(sparse, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -144,7 +151,40 @@ def make_colmap_scene(
     C.write_cameras_binary(cameras, os.path.join(sparse, "cameras.bin"))
     C.write_images_binary(images, os.path.join(sparse, "images.bin"))
     C.write_points3D_binary(points, os.path.join(sparse, "points3D.bin"))
+
+    if write_images:
+        import numpy as _np
+
+        from intro_to_gaussian_splatting_tpu.models.camera import (
+            camera_from_colmap,
+        )
+        from intro_to_gaussian_splatting_tpu.models.gaussians import (
+            init_from_points,
+        )
+        from intro_to_gaussian_splatting_tpu.ops.compositing import (
+            render_dense,
+        )
+
+        img_dir = os.path.join(out_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        model = init_from_points(xyz, rgb, scale_init=0.05, opacity=0.9)
+        for i in sorted(images.keys()):
+            cam = camera_from_colmap(cameras[1], images[i])
+            img = _np.asarray(render_dense(model, cam))
+            arr = (_np.clip(img, 0.0, 1.0) * 255).astype(_np.uint8)
+            _write_png_or_ppm(os.path.join(img_dir, images[i].name), arr)
     return sparse
+
+
+def _write_png_or_ppm(path: str, arr: "np.ndarray") -> None:
+    try:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+    except ImportError:  # pragma: no cover - PIL is in the base image
+        with open(os.path.splitext(path)[0] + ".ppm", "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+            f.write(arr.tobytes())
 
 
 def treehill_like_scene(

@@ -44,7 +44,7 @@ from intro_to_gaussian_splatting_tpu.ops.projection import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBins:
-    pair_records: jax.Array  # (NUM_REC_ROWS, MAX_PAIRS) f32, tile-grouped
+    pair_records: jax.Array  # (MAX_PAIRS, REC_LANES) f32, tile-grouped
     pair_gidx: jax.Array     # (MAX_PAIRS,) int32 gaussian slot per pair
     pair_valid: jax.Array    # (MAX_PAIRS,) bool
     tile_starts: jax.Array   # (NT,) int32 first pair of each tile
@@ -111,44 +111,68 @@ def bin_gaussians(
     span_y = jnp.clip(ty1 - ty0 + 1, 0, config.max_span)
     counts = jnp.where(valid, span_x * span_y, 0)               # (N,)
 
-    # 3. slot offsets
+    # 3. slot offsets. Overflow policy: drop WHOLE gaussians far-to-near
+    # (the dropped set is a suffix of the depth ranking, since offsets are
+    # monotone), so per-tile ranges stay exact even when capacity overflows.
     offsets = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])    # (N+1,)
     total = offsets[-1]
+    full = offsets[1:] <= max_pairs                             # fits entirely
+    total_emit = jnp.max(jnp.where(full, offsets[1:], 0))
 
-    # 4. ragged expand via binary search
+    # 4. ragged expand. rank[p] = (number of i >= 1 with offsets[i] <= p) is
+    # computed as a scatter of ones at each gaussian's start offset followed
+    # by a cumulative sum -- O(MP) with log-depth scan, far cheaper on TPU
+    # than searchsorted's 20-step binary search (20 serial gathers over MP).
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    rank = jnp.clip(
-        jnp.searchsorted(offsets, p, side="right").astype(jnp.int32) - 1,
-        0, n - 1)                                               # (MP,) depth rank
+    marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets[1:]].add(
+        1, mode="drop")                   # offsets >= MP fall off the end
+    rank = jnp.clip(jnp.cumsum(marks), 0, n - 1)                # (MP,) depth rank
     k = p - offsets[rank]
     dx = k % jnp.maximum(span_x[rank], 1)
     dy = k // jnp.maximum(span_x[rank], 1)
     tile_id = (ty0[rank] + dy) * ntx + (tx0[rank] + dx)
-    emitted = p < total
+    emitted = p < total_emit
     tile_key = jnp.where(emitted, tile_id, num_tiles).astype(jnp.int32)
 
     # 5. stable sort by tile: depth order preserved within a tile
     sorted_keys, sorted_rank = jax.lax.sort_key_val(tile_key, rank, is_stable=True)
     pair_valid = sorted_keys < num_tiles
 
-    # 6. per-tile ranges
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_keys, tids, side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_keys, tids, side="right").astype(jnp.int32)
-    tile_counts = tile_ends - tile_starts
+    # 6. per-tile ranges WITHOUT searchsorted (binary search = 20 serial
+    # gather passes, measured ~9 ms per call at treehill scale): every
+    # emitted gaussian covers a clamped tile rectangle, so per-tile pair
+    # counts are a sum of axis-aligned indicator rectangles -- scatter the
+    # four signed corners of each rectangle and take a 2D prefix sum.
+    # Starts follow as the exclusive cumsum (sorted order is tile-major).
+    w = (valid & full & (counts > 0)).astype(jnp.int32)
+    ntx1, nty1 = ntx + 1, nty + 1
+    txe = tx0 + span_x                   # exclusive right tile bound
+    tye = ty0 + span_y
+    corner_idx = jnp.concatenate([
+        ty0 * ntx1 + tx0, ty0 * ntx1 + txe, tye * ntx1 + tx0, tye * ntx1 + txe])
+    corner_upd = jnp.concatenate([w, -w, -w, w])
+    grid_sum = jnp.zeros((nty1 * ntx1,), jnp.int32).at[corner_idx].add(
+        corner_upd, mode="drop")
+    cnt2d = jnp.cumsum(jnp.cumsum(grid_sum.reshape(nty1, ntx1), axis=0), axis=1)
+    tile_counts = cnt2d[:nty, :ntx].reshape(-1)
+    tile_starts = (jnp.cumsum(tile_counts) - tile_counts).astype(jnp.int32)
 
-    # 7. gather records into pair order (differentiable)
+    # 7. gather records into pair order (differentiable), pair-major
+    # (MP, REC_LANES): pairs on sublanes so the rasterizer DMAs a chunk as a
+    # dense row window; 16 feature lanes padded to the 128-lane tile.
     pair_gidx = order[sorted_rank]                              # gaussian slots
-    records = pack_records(proj)                                # (16, N)
-    pair_records = jnp.take(records, pair_gidx, axis=1)
+    records_t = pack_records(proj).T                            # (N, 16)
+    pair_rec = jnp.take(records_t, pair_gidx, axis=0)           # (MP, 16)
+    pair_records = jnp.pad(
+        pair_rec, ((0, 0), (0, P.REC_LANES - P.NUM_REC_ROWS)))
 
     return TileBins(
         pair_records=pair_records,
         pair_gidx=pair_gidx.astype(jnp.int32),
         pair_valid=pair_valid,
         tile_starts=tile_starts,
-        tile_counts=tile_counts,
+        tile_counts=tile_counts.astype(jnp.int32),
         num_pairs=total.astype(jnp.int32),
         overflowed=total > max_pairs,
     )

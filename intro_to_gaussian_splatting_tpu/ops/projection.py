@@ -52,6 +52,10 @@ REC_ONE = 15
 PAYLOAD_START = 11     # rows 11..15 = [r, g, b, depth, 1]
 NUM_PAYLOAD = 5
 NUM_REC_ROWS = 16  # a multiple of 8 (f32 sublane tile)
+# Lane width of the pair-major (MAX_PAIRS, REC_LANES) record matrix consumed
+# by the Pallas rasterizer: Mosaic DMA windows must span whole 128-lane
+# tiles, so the 16 feature rows ride the first 16 lanes of a 128-lane row.
+REC_LANES = 128
 
 
 @jax.tree_util.register_dataclass

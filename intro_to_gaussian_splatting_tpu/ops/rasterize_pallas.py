@@ -6,11 +6,21 @@ Differences are architectural, not cosmetic:
   * The CUDA kernel runs one thread per pixel, scanning ALL gaussians with a
     per-thread bbox reject and `break` (render.cu:49-81). Here the grid is one
     program per 16x16 tile; the tile's pre-binned, depth-ordered gaussian
-    range (ops/binning.py) streams HBM->VMEM in chunks, and compositing runs
-    as triangular-matmul prefix products on the MXU over the whole
-    (pixels x chunk) block at once (see ops/compositing.py).
-  * Early exit is per tile, not per pixel: the chunk loop is a while_loop
-    that stops once every pixel's transmittance is below threshold.
+    range (ops/binning.py) streams HBM->VMEM with double-buffered DMA.
+  * Block layout is TRANSPOSED relative to the obvious port: gaussians live
+    on SUBLANES (chunks of config.chunk_size, default 16) and the tile's 256
+    pixels on LANES. The minimum per-tile work quantum is therefore a
+    (16, 256) VPU block -- 16x smaller than a (256, 256) pixel-major chunk --
+    which matters because at reference init scale most tiles hold only a
+    couple of splats. Records are stored pair-major (MAX_PAIRS, 128) so a
+    chunk DMAs as a dense (chunk, 128) row window (Mosaic requires lane
+    windows be 128-aligned; sublane windows only 8-aligned).
+  * Front-to-back compositing is a prefix product: log-transmittance prefix
+    sums run as a log2(chunk)-step sublane shift-add scan, not a per-pixel
+    loop ("break" becomes a lane-masked `include` test -- exact because T is
+    monotone when alpha <= alpha_clamp < 1; see ops/compositing.py).
+  * Early exit is per tile: the chunk loop is a while_loop that stops once
+    every pixel's transmittance is below threshold.
   * The backward pass (absent in the reference -- nothing ever backprops
     through its renderer, SURVEY.md section 0) runs in FORWARD order: the
     suffix sums it needs come from `U_all - prefix` where `U_all` is
@@ -18,7 +28,7 @@ Differences are architectural, not cosmetic:
     per-gaussian state is stored.
 
 Per-pair gradients are written disjointly by the owning tile (plus a benign
-chunk-aligned overhang that the next grid step overwrites -- the TPU grid is
+8-row-aligned overhang that later tiles overwrite -- the TPU grid is
 sequential by construction), then scatter-added to gaussian slots by the
 autodiff transpose of the binning gather.
 """
@@ -38,20 +48,14 @@ from intro_to_gaussian_splatting_tpu.models.camera import Camera
 from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
 from intro_to_gaussian_splatting_tpu.ops import projection as P
 from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians, tile_grid
-from intro_to_gaussian_splatting_tpu.ops.compositing import (
-    CompositeCarry,
-    composite_chunk,
-    effective_alpha,
-    incl_lower_triangle,
-    strict_lower_triangle,
-    _row,
-)
 from intro_to_gaussian_splatting_tpu.ops.projection import project_gaussians
 
-_HI = jax.lax.Precision.HIGHEST
+_LOG_FLOOR = -30.0
 # Output channels per pixel: [r, g, b, depth, alpha, T_final, 0, 0]
 OUT_CHANNELS = 8
 OUT_T = 5
+# Sublane alignment of DMA row windows (f32 tiling is (8, 128)).
+_SUBALIGN = 8
 
 
 def _interpret_default() -> bool:
@@ -59,9 +63,9 @@ def _interpret_default() -> bool:
 
 
 def _tile_pixel_coords(t, ntx: int, ts: int):
-    """Global pixel coords of tile t's pixels, row-major, as (PIX, 1) f32."""
+    """Global pixel coords of tile t's pixels, row-major, as (1, PIX) f32."""
     pix = ts * ts
-    l = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     tx = t % ntx
     ty = t // ntx
     px = (tx * ts + l % ts).astype(jnp.float32)
@@ -69,18 +73,56 @@ def _tile_pixel_coords(t, ntx: int, ts: int):
     return px, py
 
 
-def _align_of(chunk: int) -> int:
-    """DMA lane-slice alignment. Mosaic requires lane offsets divisible by
-    the 128-lane tiling; tile pair ranges start at arbitrary offsets, so each
-    tile's chunk window is aligned DOWN to 128 and the leading overlap into
-    the previous tile's range is masked out (<= 1 extra chunk of work)."""
-    return 128 if chunk % 128 == 0 else chunk
+def _sub_mask(i, shift, end, chunk: int):
+    """(CHUNK, 1) validity for window row i*chunk+row in [shift, end)."""
+    offs = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + i * chunk
+    return ((offs >= shift) & (offs < end)).astype(jnp.float32)
 
 
-def _chunk_mask(i, shift, end, chunk: int):
-    """(1, CHUNK) validity for window position i*chunk+lane in [shift, end)."""
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + i * chunk
-    return (offs >= shift) & (offs < end)
+def scan_sublanes_incl(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along sublanes (axis 0), log-step shift-add."""
+    g = x.shape[0]
+    k = 1
+    while k < g:
+        pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+        x = x + jnp.concatenate([pad, x[:-k]], axis=0)
+        k *= 2
+    return x
+
+
+def _col(rec, c):
+    """Feature column c of the (G, 128) record block as (G, 1)."""
+    return rec[:, c:c + 1]
+
+
+def _alpha_terms(rec, px, py, gmask, config: RasterizerConfig):
+    """Shared fwd/bwd per-chunk alpha evaluation in transposed layout.
+
+    rec: (G, 128) records; px, py: (1, PIX); gmask: (G, 1).
+    Returns (dx, dy, weight, alpha_raw, a) all (G, PIX)-shaped (or bcastable).
+    Semantics identical to ops/compositing.py:gaussian_alpha/effective_alpha
+    (ref utils.py:357-365, gaussian_scene.py:164, render.cu:55-71).
+    """
+    dx = px - _col(rec, P.REC_MEAN_X)
+    dy = py - _col(rec, P.REC_MEAN_Y)
+    q = (_col(rec, P.REC_CONIC_A) * dx * dx
+         + 2.0 * _col(rec, P.REC_CONIC_B) * dx * dy
+         + _col(rec, P.REC_CONIC_C) * dy * dy)
+    weight = jnp.exp(-0.5 * q)
+    alpha_raw = _col(rec, P.REC_OPACITY) * weight
+    a = jnp.clip(alpha_raw, 0.0, config.alpha_clamp)
+    if config.alpha_min > 0.0:
+        a = jnp.where(alpha_raw >= config.alpha_min, a, 0.0)
+    if config.compat.pixel_bbox_test:
+        # CUDA path rejects pixels outside the gaussian's own bbox
+        # (render.cu:55-60); bbox tests are inclusive on both ends.
+        inb = ((px >= _col(rec, P.REC_MIN_X))
+               & (px <= _col(rec, P.REC_MAX_X))
+               & (py >= _col(rec, P.REC_MIN_Y))
+               & (py <= _col(rec, P.REC_MAX_Y)))
+        a = jnp.where(inb, a, 0.0)
+    a = a * gmask
+    return dx, dy, weight, alpha_raw, a
 
 
 # ---------------------------------------------------------------------------
@@ -93,44 +135,70 @@ def _fwd_kernel(starts_ref, counts_ref, rec_hbm, out_ref, rec_vmem, sem,
     chunk = config.chunk_size
     pix = ts * ts
     t = pl.program_id(0)
-    align = _align_of(chunk)
     start = starts_ref[t]
-    astart = (start // align) * align
+    astart = (start // _SUBALIGN) * _SUBALIGN
     shift = start - astart
     end = shift + counts_ref[t]          # window length incl. leading overlap
-    nchunks = pl.cdiv(end, chunk)
+    # empty tiles do NO chunk work (shift > 0 alone must not force a chunk)
+    nchunks = jnp.where(counts_ref[t] == 0, 0, pl.cdiv(end, chunk))
     px, py = _tile_pixel_coords(t, ntx, ts)
 
+    def chunk_dma(i):
+        slot = i % 2
+        return pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(astart + i * chunk, chunk), :],
+            rec_vmem.at[slot], sem.at[slot])
+
     def cond(state):
-        i, carry = state
+        i, T_carry, acc = state
         return jnp.logical_and(
-            i < nchunks,
-            jnp.max(carry.transmittance) >= config.t_threshold)
+            i < nchunks, jnp.max(T_carry) >= config.t_threshold)
 
     def body(state):
-        i, carry = state
-        off = pl.multiple_of(astart + i * chunk, align)
-        dma = pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(off, chunk)], rec_vmem, sem)
-        dma.start()
-        dma.wait()
-        gmask = _chunk_mask(i, shift, end, chunk)
-        carry = composite_chunk(carry, px, py, rec_vmem[:, :], gmask, config)
-        return i + 1, carry
+        # invariant: DMA for chunk i is in flight on entry (slot i % 2)
+        i, T_carry, acc = state
 
-    carry0 = CompositeCarry(
-        transmittance=jnp.ones((pix, 1), jnp.float32),
-        accum=jnp.zeros((pix, P.NUM_PAYLOAD), jnp.float32),
-        alive=jnp.ones((pix, 1), jnp.float32),
-    )
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
-    out = jnp.concatenate(
-        [carry.accum, carry.transmittance,
-         jnp.zeros((pix, OUT_CHANNELS - P.NUM_PAYLOAD - 1), jnp.float32)],
-        axis=1)
+        @pl.when(i + 1 < nchunks)
+        def _():
+            chunk_dma(i + 1).start()
+        chunk_dma(i).wait()
+        rec = rec_vmem[i % 2]
+        gmask = _sub_mask(i, shift, end, chunk)
+        _, _, _, _, a = _alpha_terms(rec, px, py, gmask, config)
+        s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
+        s_incl = scan_sublanes_incl(s)
+        T = T_carry * jnp.exp(s_incl - s)                       # (G, PIX)
+        include = (T * (1.0 - a) >= config.t_threshold).astype(jnp.float32)
+        w = T * a * include
+        # accumulate the 5 payload channels [r, g, b, depth, alpha]
+        new_rows = [
+            acc[c - P.PAYLOAD_START:c - P.PAYLOAD_START + 1, :]
+            + jnp.sum(w * _col(rec, c), axis=0, keepdims=True)
+            for c in range(P.PAYLOAD_START, P.PAYLOAD_START + P.NUM_PAYLOAD)
+        ]
+        T_next = T_carry * jnp.exp(s_incl[chunk - 1:chunk, :])
+        return i + 1, T_next, jnp.concatenate(new_rows, axis=0)
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0).start()
+
+    T0 = jnp.ones((1, pix), jnp.float32)
+    acc0 = jnp.zeros((P.NUM_PAYLOAD, pix), jnp.float32)
+    i_fin, T_fin, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, acc0))
+
+    # transmittance early exit leaves the prefetched chunk i_fin in flight;
+    # drain it so the persistent semaphore is clean for the next grid step
+    @pl.when(jnp.logical_and(i_fin > 0, i_fin < nchunks))
+    def _():
+        chunk_dma(i_fin).wait()
+
     # channel-major (C, PIX): lanes = pixels, so the (NT, C, PIX) HBM buffer
     # needs no lane padding (a (NT, PIX, 8) layout costs 16x HBM padding)
-    out_ref[0] = out.T
+    out_ref[0] = jnp.concatenate(
+        [acc, T_fin,
+         jnp.zeros((OUT_CHANNELS - P.NUM_PAYLOAD - 1, pix), jnp.float32)],
+        axis=0)
 
 
 def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
@@ -148,8 +216,8 @@ def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
                 (1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, config.chunk_size, P.REC_LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
@@ -171,115 +239,113 @@ def _bwd_kernel(starts_ref, counts_ref, rec_hbm, out_tile_ref, g_tile_ref,
     chunk = config.chunk_size
     pix = ts * ts
     t = pl.program_id(0)
-    align = _align_of(chunk)
     start = starts_ref[t]
-    astart = (start // align) * align
+    astart = (start // _SUBALIGN) * _SUBALIGN
     shift = start - astart
     end = shift + counts_ref[t]
-    nchunks = pl.cdiv(end, chunk)
+    nchunks = jnp.where(counts_ref[t] == 0, 0, pl.cdiv(end, chunk))
     px, py = _tile_pixel_coords(t, ntx, ts)
 
-    g5 = g_tile_ref[0, 0:P.NUM_PAYLOAD, :].T         # (PIX, 5) payload cotangent
-    out5 = out_tile_ref[0, 0:P.NUM_PAYLOAD, :].T     # (PIX, 5) forward outputs
+    g5 = g_tile_ref[0, 0:P.NUM_PAYLOAD, :]           # (5, PIX) payload cotangent
+    out5 = out_tile_ref[0, 0:P.NUM_PAYLOAD, :]       # (5, PIX) forward outputs
     # U_all[p] = sum_j gc[p,j] * W[p,j] over ALL gaussians of this tile
-    #          = sum_k g5[p,k] * out5[p,k]  (because out5 = W @ payload^T)
-    u_all = jnp.sum(g5 * out5, axis=1, keepdims=True)  # (PIX, 1)
+    #          = sum_k g5[k,p] * out5[k,p]  (because out5 = payload @ W)
+    u_all = jnp.sum(g5 * out5, axis=0, keepdims=True)  # (1, PIX)
+
+    def in_dma(i):
+        slot = i % 2
+        return pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(astart + i * chunk, chunk), :],
+            rec_vmem.at[slot], sem_in.at[slot])
 
     def body(i, state):
+        # invariant: input DMA for chunk i is in flight on entry (slot i % 2)
         T_carry, u_done = state
-        off = pl.multiple_of(astart + i * chunk, align)
-        dma = pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(off, chunk)], rec_vmem, sem_in)
-        dma.start()
+        off = astart + i * chunk
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            in_dma(i + 1).start()
         # while the records stream in, fetch the previous tile's gradients
-        # already present in the first (overlapping) chunk window
+        # already present in the first (8-row-aligned, overlapping) window
         merge_dma = pltpu.make_async_copy(
-            drec_hbm.at[:, pl.ds(off, chunk)], drec_vmem, sem_out)
+            drec_hbm.at[pl.ds(off, chunk), :], drec_vmem, sem_out)
 
         @pl.when(i == 0)
         def _():
             merge_dma.start()
-        dma.wait()
+        in_dma(i).wait()
 
         @pl.when(i == 0)
         def _():
             merge_dma.wait()
-        rec = rec_vmem[:, :]
-        gmask = _chunk_mask(i, shift, end, chunk)
-
-        op = _row(rec, P.REC_OPACITY)
-        dx = px - _row(rec, P.REC_MEAN_X)
-        dy = py - _row(rec, P.REC_MEAN_Y)
-        ca = _row(rec, P.REC_CONIC_A)
-        cb = _row(rec, P.REC_CONIC_B)
-        cc = _row(rec, P.REC_CONIC_C)
-        q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-        weight = jnp.exp(-0.5 * q)
-        alpha_raw = op * weight
-        a = effective_alpha(alpha_raw, px, py, rec, gmask, config)
-        s = jnp.maximum(jnp.log1p(-a), -30.0)
-        s_excl = jax.lax.dot_general(
-            s, strict_lower_triangle(chunk, jnp.float32),
-            (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
-        T = T_carry * jnp.exp(s_excl)                               # (PIX, G)
+        rec = rec_vmem[i % 2]
+        gmask = _sub_mask(i, shift, end, chunk)
+        dx, dy, weight, alpha_raw, a = _alpha_terms(rec, px, py, gmask, config)
+        op = _col(rec, P.REC_OPACITY)
+        ca = _col(rec, P.REC_CONIC_A)
+        cb = _col(rec, P.REC_CONIC_B)
+        cc = _col(rec, P.REC_CONIC_C)
+        s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
+        s_incl = scan_sublanes_incl(s)
+        T = T_carry * jnp.exp(s_incl - s)                           # (G, PIX)
         include = (T * (1.0 - a) >= config.t_threshold).astype(jnp.float32)
         W = T * a * include
 
-        payload = rec[P.PAYLOAD_START:, :]                          # (5, G)
-        gc = jax.lax.dot_general(                                   # (PIX, G)
-            g5, payload, (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
+        # gc[g, p] = sum_c g5[c, p] * payload[g, c]
+        gc = sum(_col(rec, c) * g5[c - P.PAYLOAD_START:c - P.PAYLOAD_START + 1, :]
+                 for c in range(P.PAYLOAD_START, P.PAYLOAD_START + P.NUM_PAYLOAD))
         u = gc * W
-        prefix_incl = jax.lax.dot_general(
-            u, incl_lower_triangle(chunk, jnp.float32),
-            (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
+        prefix_incl = scan_sublanes_incl(u)
         suffix = u_all - u_done - prefix_incl
         da = gc * T * include - suffix / (1.0 - a)
 
         # chain rule a = clip(alpha_raw, 0, clamp) * masks
         passthrough = ((a > 0.0) & (alpha_raw < config.alpha_clamp)
                        ).astype(jnp.float32)
-        dalpha = da * passthrough                                    # (PIX, G)
+        dalpha = da * passthrough                                    # (G, PIX)
 
-        dop = jnp.sum(dalpha * weight, axis=0, keepdims=True)        # (1, G)
+        dop = jnp.sum(dalpha * weight, axis=1, keepdims=True)        # (G, 1)
         dq = dalpha * op * weight * (-0.5)                           # dL/d(power)
-        dca = jnp.sum(dq * dx * dx, axis=0, keepdims=True)
-        dcb = jnp.sum(dq * 2.0 * dx * dy, axis=0, keepdims=True)
-        dcc = jnp.sum(dq * dy * dy, axis=0, keepdims=True)
+        dca = jnp.sum(dq * dx * dx, axis=1, keepdims=True)
+        dcb = jnp.sum(dq * 2.0 * dx * dy, axis=1, keepdims=True)
+        dcc = jnp.sum(dq * dy * dy, axis=1, keepdims=True)
         dmx = jnp.sum(dq * (-(2.0 * ca * dx + 2.0 * cb * dy)),
-                      axis=0, keepdims=True)
+                      axis=1, keepdims=True)
         dmy = jnp.sum(dq * (-(2.0 * cc * dy + 2.0 * cb * dx)),
-                      axis=0, keepdims=True)
-        dpayload = jax.lax.dot_general(                               # (5, G)
-            g5, W, (((0,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
+                      axis=1, keepdims=True)
+        # dpayload[g, c] = sum_p W[g, p] * g5[c, p]   (4 rows: rgb + depth;
+        # the "one" payload row is constant)
+        dpay = [jnp.sum(W * g5[c:c + 1, :], axis=1, keepdims=True)
+                for c in range(4)]
 
-        zeros5 = jnp.zeros((5, chunk), jnp.float32)
-        d_chunk = jnp.concatenate([
-            dmx, dmy, dca, dcb, dcc, dop,
-            zeros5,                              # rows 6..10 (bbox + spare)
-            dpayload[0:4, :],                    # rows 11..14 (rgb + depth)
-            jnp.zeros((1, chunk), jnp.float32),  # row 15 ("one" is constant)
-        ], axis=0)
-        # First chunk: lanes before `shift` hold the previous tile's already-
+        d_chunk = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop,
+             jnp.zeros((chunk, 5), jnp.float32)]     # rows 6..10 (bbox+spare)
+            + dpay
+            + [jnp.zeros((chunk, P.REC_LANES - 15), jnp.float32)],
+            axis=1)
+        # First chunk: rows before `shift` hold the previous tile's already-
         # written gradients (the aligned window overlaps its range) -- keep
         # them. The grid is sequential, so the previous tile has finished.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (P.NUM_REC_ROWS, chunk), 1)
-        keep_prev = jnp.logical_and(i == 0, lane < shift)
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, P.REC_LANES), 0)
+        keep_prev = jnp.logical_and(i == 0, row < shift)
         drec_vmem[:, :] = jnp.where(keep_prev, drec_vmem[:, :], d_chunk)
         out_dma = pltpu.make_async_copy(
-            drec_vmem, drec_hbm.at[:, pl.ds(off, chunk)], sem_out)
+            drec_vmem, drec_hbm.at[pl.ds(off, chunk), :], sem_out)
         out_dma.start()
         out_dma.wait()
 
-        T_next = T_carry * jnp.exp(s_excl[:, -1:] + s[:, -1:])
-        u_next = u_done + prefix_incl[:, -1:]
+        T_next = T_carry * jnp.exp(s_incl[chunk - 1:chunk, :])
+        u_next = u_done + prefix_incl[chunk - 1:chunk, :]
         return T_next, u_next
 
-    T0 = jnp.ones((pix, 1), jnp.float32)
-    U0 = jnp.zeros((pix, 1), jnp.float32)
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(0).start()
+
+    T0 = jnp.ones((1, pix), jnp.float32)
+    U0 = jnp.zeros((1, pix), jnp.float32)
     jax.lax.fori_loop(0, nchunks, body, (T0, U0))
 
 
@@ -303,9 +369,9 @@ def _bwd_pallas(records_padded, starts, counts, tile_out, g_tile,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
-                pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, config.chunk_size, P.REC_LANES), jnp.float32),
+                pltpu.VMEM((config.chunk_size, P.REC_LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -324,7 +390,7 @@ def _bwd_pallas(records_padded, starts, counts, tile_out, g_tile,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def rasterize_pairs(records, starts, counts, num_tiles: int, ntx: int,
                     config: RasterizerConfig, interpret: bool):
-    """records (NUM_REC_ROWS, MP) -> tile_out (NT, ts*ts, OUT_CHANNELS).
+    """records (MP, REC_LANES) -> tile_out (NT, OUT_CHANNELS, ts*ts).
 
     MP must be a multiple of config.chunk_size; one extra zero chunk is
     appended internally so the last chunk's DMA never reads out of bounds.
@@ -335,13 +401,14 @@ def rasterize_pairs(records, starts, counts, num_tiles: int, ntx: int,
 
 
 def _pad_records(records, chunk: int):
-    return jnp.pad(records, ((0, 0), (0, chunk)))
+    return jnp.pad(records, ((0, chunk), (0, 0)))
 
 
 def _rasterize_fwd_impl(records, starts, counts, num_tiles, ntx, config,
                         interpret):
-    assert records.shape[1] % config.chunk_size == 0, \
+    assert records.shape[0] % config.chunk_size == 0, \
         "MAX_PAIRS must be a multiple of chunk_size (binning guarantees this)"
+    assert records.shape[1] == P.REC_LANES
     rp = _pad_records(records, config.chunk_size)
     tile_out = _fwd_pallas(rp, starts, counts, num_tiles, ntx, config,
                            interpret)
@@ -359,11 +426,11 @@ def _rasterize_bwd(num_tiles, ntx, config, interpret, res, g_tile):
     rp = _pad_records(records, config.chunk_size)
     drec = _bwd_pallas(rp, starts, counts, tile_out, g_tile, num_tiles, ntx,
                        config, interpret)
-    drec = drec[:, :records.shape[1]]
+    drec = drec[:records.shape[0], :]
     # pairs beyond every tile's range are never written by the kernel: zero
     # them (the gather transpose would otherwise scatter garbage).
     total = counts.sum()
-    pair_pos = jnp.arange(records.shape[1], dtype=jnp.int32)[None, :]
+    pair_pos = jnp.arange(records.shape[0], dtype=jnp.int32)[:, None]
     drec = jnp.where(pair_pos < total, drec, 0.0)
     return drec, None, None
 

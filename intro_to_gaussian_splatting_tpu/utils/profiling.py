@@ -88,30 +88,29 @@ class Roofline:
         return max(self.flops / peak_flops, self.hbm_bytes / peak_bw)
 
 
-# Per (pixel, gaussian-pair) cost of composite_chunk (ops/compositing.py):
-# alpha eval ~18 VPU flops; log1p/exp transmittance ~8; two (PIX,G)@(G,G)
-# triangular matmuls at 2G flops/elem dominate on the MXU.
-_VPU_FLOPS_PER_PAIR_PIXEL = 26.0
+# Per (pixel, gaussian-pair-slot) VPU cost of one forward chunk step in the
+# transposed (chunk-sublanes x pixel-lanes) Pallas kernel: alpha eval ~18
+# flops, log1p/exp transmittance ~8, log2(chunk) shift-add prefix scan ~2/
+# step, include/weight/payload accumulation ~12.
+_VPU_FLOPS_PER_PAIR_PIXEL = 40.0
 
 
 def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
-                        num_tiles: int, rec_rows: int = 16,
+                        num_tiles: int, rec_lanes: int = 128,
                         out_channels: int = 8) -> Roofline:
     """Analytic cost model for one forward pass of the Pallas rasterizer.
 
     ``num_pairs`` is the total (tile, gaussian) pair count after binning
     (bins.num_pairs).  Chunks are padded to ``chunk_size``, so account at
-    chunk granularity like the hardware does.
+    chunk granularity like the hardware does. The transposed kernel does no
+    MXU work: compositing is VPU shift-scans + elementwise math.
     """
     pix = tile_size * tile_size
     chunks = np.ceil(num_pairs / chunk_size) + num_tiles  # +1 avg pad per tile
     pair_slots = chunks * chunk_size
-    # MXU: prefix-product triangular matmul (PIX,G)@(G,G) and payload
-    # accumulate (PIX,G)@(G,5) per chunk.
-    mxu = pair_slots * pix * 2 * (chunk_size + 5)
     vpu = pair_slots * pix * _VPU_FLOPS_PER_PAIR_PIXEL
-    hbm = pair_slots * rec_rows * 4 + num_tiles * pix * out_channels * 4
-    return Roofline(flops=mxu + vpu, hbm_bytes=hbm, mxu_flops=mxu,
+    hbm = pair_slots * rec_lanes * 4 + num_tiles * pix * out_channels * 4
+    return Roofline(flops=vpu, hbm_bytes=hbm, mxu_flops=0.0,
                     pixels=num_tiles * pix)
 
 

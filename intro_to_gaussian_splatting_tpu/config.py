@@ -59,11 +59,16 @@ class RasterizerConfig:
     """Static knobs for the projection + binning + compositing pipeline."""
 
     tile_size: int = 16           # pixels per tile side (ref: gaussian_scene.py:200)
-    # Gaussians composited per VMEM chunk in the Pallas rasterizer. Chunks
-    # ride SUBLANES (pixels ride lanes), so this is the per-tile work
-    # quantum: small values waste nothing on sparse tiles, large values
-    # amortize loop/DMA overhead on dense ones. Must be a multiple of 8.
-    chunk_size: int = 16
+    # Pairs streamed per VMEM chunk in the Pallas rasterizer. Chunks are
+    # lane windows of the feature-major record stream, so this must be a
+    # multiple of the 128-lane f32 tile. Larger values amortize loop/DMA
+    # overhead; smaller values waste less on short tile groups.
+    chunk_size: int = 128
+    # Consecutive tiles rasterized per grid step. The sequential Mosaic
+    # grid has per-step overhead (~1 us), so groups keep the step count
+    # ~1k/frame; larger groups also grow the one-hot accumulation matmuls
+    # ((group_tiles, chunk) @ (chunk, tile_size^2) per payload channel).
+    group_tiles: int = 64
     # Transmittance early-exit threshold. Reference: 1e-6 (Python,
     # gaussian_scene.py:153), 1e-3 (CUDA, render.cu:73). We default between.
     t_threshold: float = 1e-4
@@ -96,8 +101,13 @@ class RasterizerConfig:
 
     def __post_init__(self):
         assert self.tile_size > 0 and self.chunk_size > 0
-        assert self.chunk_size % 8 == 0, "chunk_size must be a multiple of 8"
-        assert self.alpha_clamp <= 0.9999, "alpha must stay < 1 for log1p"
+        assert self.chunk_size % 128 == 0, \
+            "chunk_size must be a multiple of the 128-lane f32 tile"
+        assert (self.tile_size ** 2) % 128 == 0, \
+            "tile_size^2 must fill whole 128-lane vector registers"
+        assert self.group_tiles > 0
+        assert self.alpha_clamp <= 0.9999, \
+            "alpha must stay < 1 so transmittance is monotone"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,11 +44,14 @@ from intro_to_gaussian_splatting_tpu.ops.projection import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBins:
-    pair_records: jax.Array  # (MAX_PAIRS, REC_LANES) f32, tile-grouped
+    pair_records: jax.Array  # (NUM_REC_ROWS, MAX_PAIRS) f32, feature-major,
+    #                          tile-grouped, means/bboxes TILE-LOCAL,
+    #                          REC_TILE row = owning tile id
     pair_gidx: jax.Array     # (MAX_PAIRS,) int32 gaussian slot per pair
     pair_valid: jax.Array    # (MAX_PAIRS,) bool
     tile_starts: jax.Array   # (NT,) int32 first pair of each tile
     tile_counts: jax.Array   # (NT,) int32
+    group_starts: jax.Array  # (NG + 1,) int32 first pair of each tile group
     num_pairs: jax.Array     # () int32 total emitted pairs (pre-drop)
     overflowed: jax.Array    # () bool: num_pairs > MAX_PAIRS (tail dropped)
 
@@ -120,20 +123,44 @@ def bin_gaussians(
     full = offsets[1:] <= max_pairs                             # fits entirely
     total_emit = jnp.max(jnp.where(full, offsets[1:], 0))
 
-    # 4. ragged expand. rank[p] = (number of i >= 1 with offsets[i] <= p) is
-    # computed as a scatter of ones at each gaussian's start offset followed
-    # by a cumulative sum -- O(MP) with log-depth scan, far cheaper on TPU
-    # than searchsorted's 20-step binary search (20 serial gathers over MP).
+    # 4. ragged expand, gather-light. rank[p] = (number of i >= 1 with
+    # offsets[i] <= p) is a scatter of ones at each gaussian's end offset
+    # followed by a cumulative sum -- O(MP) log-depth scan, far cheaper on
+    # TPU than searchsorted's 20 serial gather passes. Each pair's slot
+    # offset needs no gather either: offsets are nondecreasing, so
+    # offsets[rank[p]] == running max of start offsets scattered at their
+    # own positions. The remaining per-pair geometry (span_x, tx0, ty0) is
+    # bit-packed into ONE int32 gather -- measured ~2.7 ms per s32[MP]
+    # gather at treehill scale, so 1 gather instead of 4 is ~8 ms saved.
+    assert ntx <= 4096 and nty <= 4096, "tile grid exceeds 12-bit packing"
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets[1:]].add(
         1, mode="drop")                   # offsets >= MP fall off the end
     rank = jnp.clip(jnp.cumsum(marks), 0, n - 1)                # (MP,) depth rank
-    k = p - offsets[rank]
-    dx = k % jnp.maximum(span_x[rank], 1)
-    dy = k // jnp.maximum(span_x[rank], 1)
-    tile_id = (ty0[rank] + dy) * ntx + (tx0[rank] + dx)
+    starts_n = offsets[:-1]
+    start_scatter = jnp.zeros((max_pairs,), jnp.int32).at[starts_n].max(
+        starts_n, mode="drop")
+    k = p - jax.lax.cummax(start_scatter)                       # slot in block
+    # clip the pack inputs: zero-span gaussians can carry huge off-screen
+    # tile coords that would corrupt the packing (they are never decoded,
+    # but int32 packing must not overflow into other fields)
+    packed = ((span_x * 4096 + jnp.clip(tx0, 0, ntx - 1)) * 4096
+              + jnp.clip(ty0, 0, nty - 1))                      # (N,) 30 bits
+    gp = packed[rank]
+    span_x_p = gp >> 24
+    tx0_p = (gp >> 12) & 0xFFF
+    ty0_p = gp & 0xFFF
+    dx = k % jnp.maximum(span_x_p, 1)
+    dy = k // jnp.maximum(span_x_p, 1)
+    tile_id = (ty0_p + dy) * ntx + (tx0_p + dx)
     emitted = p < total_emit
-    tile_key = jnp.where(emitted, tile_id, num_tiles).astype(jnp.int32)
+    # sentinel id for non-emitted slots: sorts after every real tile AND
+    # falls outside every group's [g*GT, (g+1)*GT) range, so the rasterizer
+    # masks overhang lanes by segment arithmetic alone
+    gt = config.group_tiles
+    num_groups = -(-num_tiles // gt)
+    sentinel = num_groups * gt
+    tile_key = jnp.where(emitted, tile_id, sentinel).astype(jnp.int32)
 
     # 5. stable sort by tile: depth order preserved within a tile
     sorted_keys, sorted_rank = jax.lax.sort_key_val(tile_key, rank, is_stable=True)
@@ -158,14 +185,47 @@ def bin_gaussians(
     tile_counts = cnt2d[:nty, :ntx].reshape(-1)
     tile_starts = (jnp.cumsum(tile_counts) - tile_counts).astype(jnp.int32)
 
-    # 7. gather records into pair order (differentiable), pair-major
-    # (MP, REC_LANES): pairs on sublanes so the rasterizer DMAs a chunk as a
-    # dense row window; 16 feature lanes padded to the 128-lane tile.
+    # 7. gather records into pair order (differentiable) and re-express
+    # means/bboxes in the owning tile's local pixel frame, so the rasterizer
+    # shares one constant pixel-coordinate iota across every tile in flight.
+    # Feature-major (NUM_REC_ROWS, MP): dense f32 layout (see projection.py).
     pair_gidx = order[sorted_rank]                              # gaussian slots
     records_t = pack_records(proj).T                            # (N, 16)
-    pair_rec = jnp.take(records_t, pair_gidx, axis=0)           # (MP, 16)
-    pair_records = jnp.pad(
-        pair_rec, ((0, 0), (0, P.REC_LANES - P.NUM_REC_ROWS)))
+    pr = jnp.take(records_t, pair_gidx, axis=0)                 # (MP, 16)
+    tile_f = sorted_keys.astype(jnp.float32)
+    sx = jnp.where(pair_valid, (sorted_keys % ntx) * ts, 0).astype(jnp.float32)
+    sy = jnp.where(pair_valid, (sorted_keys // ntx) * ts, 0).astype(jnp.float32)
+    pair_records = jnp.stack([
+        pr[:, P.REC_MEAN_X] - sx,
+        pr[:, P.REC_MEAN_Y] - sy,
+        pr[:, P.REC_CONIC_A],
+        pr[:, P.REC_CONIC_B],
+        pr[:, P.REC_CONIC_C],
+        pr[:, P.REC_OPACITY],
+        pr[:, P.REC_MIN_X] - sx,
+        pr[:, P.REC_MAX_X] - sx,
+        pr[:, P.REC_MIN_Y] - sy,
+        pr[:, P.REC_MAX_Y] - sy,
+        tile_f,
+        pr[:, P.REC_COLOR_R],
+        pr[:, P.REC_COLOR_G],
+        pr[:, P.REC_COLOR_B],
+        pr[:, P.REC_DEPTH],
+        pr[:, P.REC_ONE],
+    ], axis=0)                                                  # (16, MP)
+
+    # group ranges: tiles are contiguous in the sorted pair stream, so a
+    # group of GT consecutive tiles is one contiguous pair range
+    total_emitted = (tile_starts[-1] + tile_counts[-1]).astype(jnp.int32)
+    ts_padded = jnp.pad(tile_starts, (0, num_groups * gt - num_tiles),
+                        constant_values=0)
+    # starts of empty trailing pad tiles must equal total (empty ranges)
+    ts_padded = jnp.where(
+        jnp.arange(num_groups * gt) < num_tiles, ts_padded, total_emitted)
+    # reshape + column slice, NOT a strided [::gt] (which lowers to a gather)
+    group_firsts = ts_padded.reshape(num_groups, gt)[:, 0]
+    group_starts = jnp.concatenate(
+        [group_firsts, total_emitted[None]]).astype(jnp.int32)
 
     return TileBins(
         pair_records=pair_records,
@@ -173,6 +233,7 @@ def bin_gaussians(
         pair_valid=pair_valid,
         tile_starts=tile_starts,
         tile_counts=tile_counts.astype(jnp.int32),
+        group_starts=group_starts,
         num_pairs=total.astype(jnp.int32),
         overflowed=total > max_pairs,
     )

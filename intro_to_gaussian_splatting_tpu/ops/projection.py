@@ -44,6 +44,7 @@ REC_MIN_X = 6
 REC_MAX_X = 7
 REC_MIN_Y = 8
 REC_MAX_Y = 9
+REC_TILE = 10    # pair's tile id (binning fills it; f32-exact below 2^24)
 REC_COLOR_R = 11
 REC_COLOR_G = 12
 REC_COLOR_B = 13
@@ -52,10 +53,10 @@ REC_ONE = 15
 PAYLOAD_START = 11     # rows 11..15 = [r, g, b, depth, 1]
 NUM_PAYLOAD = 5
 NUM_REC_ROWS = 16  # a multiple of 8 (f32 sublane tile)
-# Lane width of the pair-major (MAX_PAIRS, REC_LANES) record matrix consumed
-# by the Pallas rasterizer: Mosaic DMA windows must span whole 128-lane
-# tiles, so the 16 feature rows ride the first 16 lanes of a 128-lane row.
-REC_LANES = 128
+# The rasterizer consumes records FEATURE-MAJOR, (NUM_REC_ROWS, MAX_PAIRS):
+# f32 arrays tile as (8, 128), so this layout is dense in HBM, whereas a
+# pair-major (MAX_PAIRS, 16) layout would pad every row to 128 lanes (8x
+# wasted footprint and stream bandwidth).
 
 
 @jax.tree_util.register_dataclass

@@ -1,42 +1,49 @@
-"""Pallas TPU rasterizer: tiled forward compositing + hand-derived backward.
+"""Pallas TPU rasterizer: group-streamed forward + hand-derived backward.
 
 TPU-native replacement for the reference CUDA kernel (splat/c/render.cu).
-Differences are architectural, not cosmetic:
+The design is architectural, not a translation:
 
   * The CUDA kernel runs one thread per pixel, scanning ALL gaussians with a
-    per-thread bbox reject and `break` (render.cu:49-81). Here the grid is one
-    program per 16x16 tile; the tile's pre-binned, depth-ordered gaussian
-    range (ops/binning.py) streams HBM->VMEM with double-buffered DMA.
-  * Block layout is TRANSPOSED relative to the obvious port: gaussians live
-    on SUBLANES (chunks of config.chunk_size, default 16) and the tile's 256
-    pixels on LANES. The minimum per-tile work quantum is therefore a
-    (16, 256) VPU block -- 16x smaller than a (256, 256) pixel-major chunk --
-    which matters because at reference init scale most tiles hold only a
-    couple of splats. Records are stored pair-major (MAX_PAIRS, 128) so a
-    chunk DMAs as a dense (chunk, 128) row window (Mosaic requires lane
-    windows be 128-aligned; sublane windows only 8-aligned).
-  * Front-to-back compositing is a prefix product: log-transmittance prefix
-    sums run as a log2(chunk)-step sublane shift-add scan, not a per-pixel
-    loop ("break" becomes a lane-masked `include` test -- exact because T is
-    monotone when alpha <= alpha_clamp < 1; see ops/compositing.py).
-  * Early exit is per tile: the chunk loop is a while_loop that stops once
-    every pixel's transmittance is below threshold.
+    per-thread bbox reject and `break` (render.cu:49-81). A first TPU cut ran
+    one grid step per 16x16 tile, but a treehill-size frame has ~66k tiles
+    and the sequential Mosaic grid made per-step overhead the bottleneck.
+    Here the grid is one program per GROUP of `group_tiles` consecutive
+    tiles (~1k steps per frame): because the binning pass (ops/binning.py)
+    emits pairs sorted by (tile, depth), a group's pairs are one contiguous
+    range of the pair stream, which the kernel consumes in fixed 128-lane
+    chunks with double-buffered HBM->VMEM DMA -- empty tiles cost nothing.
+  * Records are FEATURE-MAJOR (16 rows, MAX_PAIRS lanes): f32 arrays tile as
+    (8, 128), so a pair-major (MAX_PAIRS, 16) layout would pad every row to
+    128 lanes and waste 8x HBM footprint and bandwidth; feature-major is
+    dense. Each chunk is transposed once in VMEM to give per-pair features
+    on sublanes and the tile's 256 pixels on lanes.
+  * A chunk may span many tiles, so per-tile state is handled by SEGMENTED
+    operations keyed on the record's tile-id row: front-to-back
+    transmittance is a segmented multiplicative Hillis-Steele scan along
+    sublanes (exact because tiles are contiguous in the sorted stream), and
+    per-tile accumulation is a one-hot matmul -- (group_tiles, C) selector
+    against (C, 256) weights -- which the MXU does at full throughput.
+    Means and bboxes are stored TILE-LOCAL so pixel coordinates are a
+    constant iota, shared by every tile in flight.
+  * "break" becomes the lane-masked `include` test -- exact because T is
+    monotone when alpha <= alpha_clamp < 1 (see ops/compositing.py).
   * The backward pass (absent in the reference -- nothing ever backprops
     through its renderer, SURVEY.md section 0) runs in FORWARD order: the
-    suffix sums it needs come from `U_all - prefix` where `U_all` is
-    recovered from the forward outputs, so no back-to-front sweep and no
-    per-gaussian state is stored.
+    per-tile suffix sums it needs come from `u_all[tile] - prefix`, where
+    u_all is recovered from the forward output block, so no back-to-front
+    sweep and no per-gaussian state is stored.
 
-Per-pair gradients are written disjointly by the owning tile (plus a benign
-8-row-aligned overhang that later tiles overwrite -- the TPU grid is
-sequential by construction), then scatter-added to gaussian slots by the
-autodiff transpose of the binning gather.
+Per-pair gradients are written as 128-aligned lane windows by the owning
+group (the leading partial window merges the previous group's already
+written values -- the TPU grid is sequential by construction), then
+scatter-added to gaussian slots by the autodiff transpose of the binning
+gather.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,226 +57,260 @@ from intro_to_gaussian_splatting_tpu.ops import projection as P
 from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians, tile_grid
 from intro_to_gaussian_splatting_tpu.ops.projection import project_gaussians
 
-_LOG_FLOOR = -30.0
-# Output channels per pixel: [r, g, b, depth, alpha, T_final, 0, 0]
-OUT_CHANNELS = 8
-OUT_T = 5
-# Sublane alignment of DMA row windows (f32 tiling is (8, 128)).
-_SUBALIGN = 8
+# Output channels per tile pixel: [r, g, b, depth, alpha]. The channel dim
+# is not a Mosaic tiling dim of the (1, C, GT, ts*ts) output block, so it
+# needs no power-of-two padding.
+OUT_CHANNELS = 5
+# Lane alignment of chunk DMA windows (f32 lane tiling is 128).
+_LANE_ALIGN = 128
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile_pixel_coords(t, ntx: int, ts: int):
-    """Global pixel coords of tile t's pixels, row-major, as (1, PIX) f32."""
+def _local_pixel_coords(ts: int):
+    """Tile-local pixel coords (row-major lane order) as two (1, ts*ts) f32."""
     pix = ts * ts
     l = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    tx = t % ntx
-    ty = t // ntx
-    px = (tx * ts + l % ts).astype(jnp.float32)
-    py = (ty * ts + l // ts).astype(jnp.float32)
-    return px, py
+    return (l % ts).astype(jnp.float32), (l // ts).astype(jnp.float32)
 
 
-def _sub_mask(i, shift, end, chunk: int):
-    """(CHUNK, 1) validity for window row i*chunk+row in [shift, end)."""
-    offs = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + i * chunk
-    return ((offs >= shift) & (offs < end)).astype(jnp.float32)
+def _shift_down_sub(x, k, fill):
+    """Shift +k along sublanes (axis 0); rows [0, k) filled with `fill`.
+
+    Written as a circular roll + iota select: Mosaic lowers sublane rotates
+    natively, whereas pad+concat at non-multiple-of-8 offsets does not lower.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rolled = pltpu.roll(x, shift=k, axis=0)
+    return jnp.where(rows < k, jnp.asarray(fill, x.dtype), rolled)
 
 
-def scan_sublanes_incl(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along sublanes (axis 0), log-step shift-add."""
-    g = x.shape[0]
+def seg_scan_mult(x: jax.Array, seg: jax.Array) -> jax.Array:
+    """Segmented inclusive prefix PRODUCT along sublanes.
+
+    x: (C, PIX); seg: (C, 1) segment ids (contiguous runs). Hillis-Steele:
+    log2(C) shift-multiply steps; the `seg[j-k] == seg[j]` test is exact for
+    contiguous segments. Multiplicative form needs no log/exp: factors are
+    (1 - alpha) in [0.01, 1], and underflow to 0 is a saturated pixel.
+    """
+    c = x.shape[0]
     k = 1
-    while k < g:
-        pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
-        x = x + jnp.concatenate([pad, x[:-k]], axis=0)
+    while k < c:
+        same = seg == _shift_down_sub(seg, k, -1.0)
+        x = x * jnp.where(same, _shift_down_sub(x, k, 1.0), 1.0)
         k *= 2
     return x
 
 
-def _col(rec, c):
-    """Feature column c of the (G, 128) record block as (G, 1)."""
-    return rec[:, c:c + 1]
+def seg_scan_add(x: jax.Array, seg: jax.Array) -> jax.Array:
+    """Segmented inclusive prefix sum along sublanes. Same scheme, additive."""
+    c = x.shape[0]
+    k = 1
+    while k < c:
+        same = seg == _shift_down_sub(seg, k, -1.0)
+        x = x + jnp.where(same, _shift_down_sub(x, k, 0.0), 0.0)
+        k *= 2
+    return x
 
 
-def _alpha_terms(rec, px, py, gmask, config: RasterizerConfig):
-    """Shared fwd/bwd per-chunk alpha evaluation in transposed layout.
+def _col(rec_t, c):
+    """Feature column c of the transposed (C, 16) chunk as (C, 1)."""
+    return rec_t[:, c:c + 1]
 
-    rec: (G, 128) records; px, py: (1, PIX); gmask: (G, 1).
-    Returns (dx, dy, weight, alpha_raw, a) all (G, PIX)-shaped (or bcastable).
+
+def _alpha_terms(rec_t, px, py, gmask, config: RasterizerConfig):
+    """Per-chunk alpha evaluation; pairs on sublanes, pixels on lanes.
+
+    rec_t: (C, 16) transposed records with TILE-LOCAL means/bboxes;
+    px, py: (1, PIX) local coords; gmask: (C, 1) validity.
     Semantics identical to ops/compositing.py:gaussian_alpha/effective_alpha
     (ref utils.py:357-365, gaussian_scene.py:164, render.cu:55-71).
     """
-    dx = px - _col(rec, P.REC_MEAN_X)
-    dy = py - _col(rec, P.REC_MEAN_Y)
-    q = (_col(rec, P.REC_CONIC_A) * dx * dx
-         + 2.0 * _col(rec, P.REC_CONIC_B) * dx * dy
-         + _col(rec, P.REC_CONIC_C) * dy * dy)
+    dx = px - _col(rec_t, P.REC_MEAN_X)
+    dy = py - _col(rec_t, P.REC_MEAN_Y)
+    q = (_col(rec_t, P.REC_CONIC_A) * dx * dx
+         + 2.0 * _col(rec_t, P.REC_CONIC_B) * dx * dy
+         + _col(rec_t, P.REC_CONIC_C) * dy * dy)
     weight = jnp.exp(-0.5 * q)
-    alpha_raw = _col(rec, P.REC_OPACITY) * weight
+    alpha_raw = _col(rec_t, P.REC_OPACITY) * weight
     a = jnp.clip(alpha_raw, 0.0, config.alpha_clamp)
     if config.alpha_min > 0.0:
         a = jnp.where(alpha_raw >= config.alpha_min, a, 0.0)
     if config.compat.pixel_bbox_test:
         # CUDA path rejects pixels outside the gaussian's own bbox
         # (render.cu:55-60); bbox tests are inclusive on both ends.
-        inb = ((px >= _col(rec, P.REC_MIN_X))
-               & (px <= _col(rec, P.REC_MAX_X))
-               & (py >= _col(rec, P.REC_MIN_Y))
-               & (py <= _col(rec, P.REC_MAX_Y)))
+        inb = ((px >= _col(rec_t, P.REC_MIN_X))
+               & (px <= _col(rec_t, P.REC_MAX_X))
+               & (py >= _col(rec_t, P.REC_MIN_Y))
+               & (py <= _col(rec_t, P.REC_MAX_Y)))
         a = jnp.where(inb, a, 0.0)
     a = a * gmask
     return dx, dy, weight, alpha_raw, a
+
+
+def _chunk_geometry(gs_ref, g, chunk: int):
+    """Window geometry of group g's pair range: (astart, nchunks, base_tile_f)."""
+    start = gs_ref[g]
+    stop = gs_ref[g + 1]
+    astart = (start // _LANE_ALIGN) * _LANE_ALIGN
+    end = stop - astart
+    nchunks = jnp.where(stop == start, 0, pl.cdiv(end, chunk))
+    return astart, nchunks
+
+
+def _seg_state(rec, rec_t, g, gt: int):
+    """Per-chunk segment arrays from the tile-id record row.
+
+    Returns (seg (C,1) f32 tile ids, tl_row (1,C) / tl_sub (C,1) group-local
+    ids, inrange (C,1) f32 mask). Lanes owned by other groups (window
+    overhang) or padding (sentinel id) fall outside [0, gt): masked out.
+    """
+    base = (g * gt).astype(jnp.float32)
+    seg = _col(rec_t, P.REC_TILE)
+    tl_row = rec[P.REC_TILE:P.REC_TILE + 1, :] - base
+    tl_sub = seg - base
+    inrange = ((tl_sub >= 0.0) & (tl_sub < float(gt))).astype(jnp.float32)
+    return seg, tl_row, tl_sub, inrange
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, rec_hbm, out_ref, rec_vmem, sem,
-                *, ntx: int, config: RasterizerConfig):
+def _fwd_kernel(gs_ref, rec_hbm, out_ref, rec_vmem, sem,
+                *, gt: int, config: RasterizerConfig):
     ts = config.tile_size
     chunk = config.chunk_size
     pix = ts * ts
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    astart = (start // _SUBALIGN) * _SUBALIGN
-    shift = start - astart
-    end = shift + counts_ref[t]          # window length incl. leading overlap
-    # empty tiles do NO chunk work (shift > 0 alone must not force a chunk)
-    nchunks = jnp.where(counts_ref[t] == 0, 0, pl.cdiv(end, chunk))
-    px, py = _tile_pixel_coords(t, ntx, ts)
+    g = pl.program_id(0)
+    astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
+    px, py = _local_pixel_coords(ts)
+    rows_gt = jax.lax.broadcasted_iota(jnp.int32, (gt, chunk), 0).astype(
+        jnp.float32)
+
+    out_ref[0] = jnp.zeros((OUT_CHANNELS, gt, pix), jnp.float32)
 
     def chunk_dma(i):
         slot = i % 2
         return pltpu.make_async_copy(
-            rec_hbm.at[pl.ds(astart + i * chunk, chunk), :],
+            rec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
             rec_vmem.at[slot], sem.at[slot])
 
-    def cond(state):
-        i, T_carry, acc = state
-        return jnp.logical_and(
-            i < nchunks, jnp.max(T_carry) >= config.t_threshold)
-
-    def body(state):
+    def body(i, carry):
         # invariant: DMA for chunk i is in flight on entry (slot i % 2)
-        i, T_carry, acc = state
+        t_carry, seg_carry = carry
 
         @pl.when(i + 1 < nchunks)
         def _():
             chunk_dma(i + 1).start()
         chunk_dma(i).wait()
-        rec = rec_vmem[i % 2]
-        gmask = _sub_mask(i, shift, end, chunk)
-        _, _, _, _, a = _alpha_terms(rec, px, py, gmask, config)
-        s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
-        s_incl = scan_sublanes_incl(s)
-        T = T_carry * jnp.exp(s_incl - s)                       # (G, PIX)
-        include = (T * (1.0 - a) >= config.t_threshold).astype(jnp.float32)
-        w = T * a * include
-        # accumulate the 5 payload channels [r, g, b, depth, alpha]
-        new_rows = [
-            acc[c - P.PAYLOAD_START:c - P.PAYLOAD_START + 1, :]
-            + jnp.sum(w * _col(rec, c), axis=0, keepdims=True)
-            for c in range(P.PAYLOAD_START, P.PAYLOAD_START + P.NUM_PAYLOAD)
-        ]
-        T_next = T_carry * jnp.exp(s_incl[chunk - 1:chunk, :])
-        return i + 1, T_next, jnp.concatenate(new_rows, axis=0)
+        rec = rec_vmem[i % 2]                       # (16, C) feature-major
+        rec_t = jnp.swapaxes(rec, 0, 1)             # (C, 16) pair-major
+        seg, tl_row, _, inrange = _seg_state(rec, rec_t, g, gt)
+
+        _, _, _, _, a = _alpha_terms(rec_t, px, py, inrange, config)
+        one_minus = 1.0 - a
+        t_incl = seg_scan_mult(one_minus, seg)                  # (C, PIX)
+        t_excl = jnp.where(seg == _shift_down_sub(seg, 1, -1.0),
+                           _shift_down_sub(t_incl, 1, 1.0), 1.0)
+        # cross-chunk carry applies only to the (single) continuing segment
+        cont = seg == seg_carry                                  # (C, 1)
+        T = t_excl * jnp.where(cont, t_carry, 1.0)
+        include = (T * one_minus >= config.t_threshold).astype(jnp.float32)
+        w = T * a * include                                      # (C, PIX)
+
+        # per-tile accumulation: one-hot selector rows x weights, on the MXU
+        oh = (rows_gt == tl_row).astype(jnp.float32)             # (GT, C)
+        for c in range(P.NUM_PAYLOAD):
+            ohp = oh * rec[P.PAYLOAD_START + c:P.PAYLOAD_START + c + 1, :]
+            out_ref[0, c] = out_ref[0, c] + jax.lax.dot_general(
+                ohp, w, (((1,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32)
+
+        t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
+        return (t_incl_full[chunk - 1:chunk, :], seg[chunk - 1:chunk, :])
 
     @pl.when(nchunks > 0)
     def _():
         chunk_dma(0).start()
 
-    T0 = jnp.ones((1, pix), jnp.float32)
-    acc0 = jnp.zeros((P.NUM_PAYLOAD, pix), jnp.float32)
-    i_fin, T_fin, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, acc0))
-
-    # transmittance early exit leaves the prefetched chunk i_fin in flight;
-    # drain it so the persistent semaphore is clean for the next grid step
-    @pl.when(jnp.logical_and(i_fin > 0, i_fin < nchunks))
-    def _():
-        chunk_dma(i_fin).wait()
-
-    # channel-major (C, PIX): lanes = pixels, so the (NT, C, PIX) HBM buffer
-    # needs no lane padding (a (NT, PIX, 8) layout costs 16x HBM padding)
-    out_ref[0] = jnp.concatenate(
-        [acc, T_fin,
-         jnp.zeros((OUT_CHANNELS - P.NUM_PAYLOAD - 1, pix), jnp.float32)],
-        axis=0)
+    t0 = jnp.ones((1, pix), jnp.float32)
+    seg0 = jnp.full((1, 1), -1.0, jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (t0, seg0))
 
 
-def _fwd_pallas(records_padded, starts, counts, num_tiles: int, ntx: int,
+def _fwd_pallas(records, group_starts, num_groups: int,
                 config: RasterizerConfig, interpret: bool):
     ts = config.tile_size
     pix = ts * ts
-    kernel = functools.partial(_fwd_kernel, ntx=ntx, config=config)
+    gt = config.group_tiles
+    kernel = functools.partial(_fwd_kernel, gt=gt, config=config)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            num_scalar_prefetch=1,
+            grid=(num_groups,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
+                (1, OUT_CHANNELS, gt, pix), lambda g, s: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, config.chunk_size, P.REC_LANES), jnp.float32),
+                pltpu.VMEM((2, P.NUM_REC_ROWS, config.chunk_size),
+                           jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_tiles, OUT_CHANNELS, pix), jnp.float32),
+            (num_groups, OUT_CHANNELS, gt, pix), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(starts, counts, records_padded)
+    )(group_starts, records)
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, rec_hbm, out_tile_ref, g_tile_ref,
-                drec_hbm, rec_vmem, drec_vmem, sem_in, sem_out,
-                *, ntx: int, config: RasterizerConfig):
+def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
+                rec_vmem, drec_vmem, sem_in, sem_out,
+                *, gt: int, config: RasterizerConfig):
     ts = config.tile_size
     chunk = config.chunk_size
     pix = ts * ts
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    astart = (start // _SUBALIGN) * _SUBALIGN
-    shift = start - astart
-    end = shift + counts_ref[t]
-    nchunks = jnp.where(counts_ref[t] == 0, 0, pl.cdiv(end, chunk))
-    px, py = _tile_pixel_coords(t, ntx, ts)
+    g = pl.program_id(0)
+    astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
+    px, py = _local_pixel_coords(ts)
+    cols_gt = jax.lax.broadcasted_iota(jnp.int32, (chunk, gt), 1).astype(
+        jnp.float32)
 
-    g5 = g_tile_ref[0, 0:P.NUM_PAYLOAD, :]           # (5, PIX) payload cotangent
-    out5 = out_tile_ref[0, 0:P.NUM_PAYLOAD, :]       # (5, PIX) forward outputs
-    # U_all[p] = sum_j gc[p,j] * W[p,j] over ALL gaussians of this tile
-    #          = sum_k g5[k,p] * out5[k,p]  (because out5 = payload @ W)
-    u_all = jnp.sum(g5 * out5, axis=0, keepdims=True)  # (1, PIX)
+    # u_all[tl, p] = sum_j gc[j, p] * W[j, p] over ALL pairs of tile tl
+    #             = sum_c g[c, tl, p] * out[c, tl, p] (out = payload @ W)
+    u_all = jnp.zeros((gt, pix), jnp.float32)
+    for c in range(P.NUM_PAYLOAD):
+        u_all = u_all + g_blk[0, c] * out_blk[0, c]
 
     def in_dma(i):
         slot = i % 2
         return pltpu.make_async_copy(
-            rec_hbm.at[pl.ds(astart + i * chunk, chunk), :],
+            rec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
             rec_vmem.at[slot], sem_in.at[slot])
 
-    def body(i, state):
+    def body(i, carry):
         # invariant: input DMA for chunk i is in flight on entry (slot i % 2)
-        T_carry, u_done = state
+        t_carry, seg_carry, u_carry = carry
         off = astart + i * chunk
 
         @pl.when(i + 1 < nchunks)
         def _():
             in_dma(i + 1).start()
-        # while the records stream in, fetch the previous tile's gradients
-        # already present in the first (8-row-aligned, overlapping) window
+        # while records stream in, fetch the previous group's gradients
+        # already present in the first (128-lane-aligned) window
         merge_dma = pltpu.make_async_copy(
-            drec_hbm.at[pl.ds(off, chunk), :], drec_vmem, sem_out)
+            drec_hbm.at[:, pl.ds(off, chunk)], drec_vmem, sem_out)
 
         @pl.when(i == 0)
         def _():
@@ -280,33 +321,48 @@ def _bwd_kernel(starts_ref, counts_ref, rec_hbm, out_tile_ref, g_tile_ref,
         def _():
             merge_dma.wait()
         rec = rec_vmem[i % 2]
-        gmask = _sub_mask(i, shift, end, chunk)
-        dx, dy, weight, alpha_raw, a = _alpha_terms(rec, px, py, gmask, config)
-        op = _col(rec, P.REC_OPACITY)
-        ca = _col(rec, P.REC_CONIC_A)
-        cb = _col(rec, P.REC_CONIC_B)
-        cc = _col(rec, P.REC_CONIC_C)
-        s = jnp.maximum(jnp.log1p(-a), _LOG_FLOOR)
-        s_incl = scan_sublanes_incl(s)
-        T = T_carry * jnp.exp(s_incl - s)                           # (G, PIX)
-        include = (T * (1.0 - a) >= config.t_threshold).astype(jnp.float32)
+        rec_t = jnp.swapaxes(rec, 0, 1)
+        seg, tl_row, tl_sub, inrange = _seg_state(rec, rec_t, g, gt)
+
+        dx, dy, weight, alpha_raw, a = _alpha_terms(
+            rec_t, px, py, inrange, config)
+        one_minus = 1.0 - a
+        t_incl = seg_scan_mult(one_minus, seg)
+        t_excl = jnp.where(seg == _shift_down_sub(seg, 1, -1.0),
+                           _shift_down_sub(t_incl, 1, 1.0), 1.0)
+        cont = seg == seg_carry
+        T = t_excl * jnp.where(cont, t_carry, 1.0)
+        include = (T * one_minus >= config.t_threshold).astype(jnp.float32)
         W = T * a * include
 
-        # gc[g, p] = sum_c g5[c, p] * payload[g, c]
-        gc = sum(_col(rec, c) * g5[c - P.PAYLOAD_START:c - P.PAYLOAD_START + 1, :]
-                 for c in range(P.PAYLOAD_START, P.PAYLOAD_START + P.NUM_PAYLOAD))
+        # per-pair rows of the tile-indexed cotangent / forward outputs
+        oh_t = (cols_gt == tl_sub).astype(jnp.float32)           # (C, GT)
+        gtile = [jax.lax.dot_general(
+            oh_t, g_blk[0, c], (((1,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32)
+            for c in range(P.NUM_PAYLOAD)]                       # (C, PIX) x5
+        gc = sum(_col(rec_t, P.PAYLOAD_START + c) * gtile[c]
+                 for c in range(P.NUM_PAYLOAD))
+        u_all_row = jax.lax.dot_general(
+            oh_t, u_all, (((1,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32)
+
         u = gc * W
-        prefix_incl = scan_sublanes_incl(u)
-        suffix = u_all - u_done - prefix_incl
-        da = gc * T * include - suffix / (1.0 - a)
+        prefix = seg_scan_add(u, seg) + jnp.where(cont, u_carry, 0.0)
+        suffix = u_all_row - prefix
+        da = gc * T * include - suffix / one_minus
 
         # chain rule a = clip(alpha_raw, 0, clamp) * masks
         passthrough = ((a > 0.0) & (alpha_raw < config.alpha_clamp)
                        ).astype(jnp.float32)
-        dalpha = da * passthrough                                    # (G, PIX)
+        dalpha = da * passthrough                                # (C, PIX)
 
-        dop = jnp.sum(dalpha * weight, axis=1, keepdims=True)        # (G, 1)
-        dq = dalpha * op * weight * (-0.5)                           # dL/d(power)
+        op = _col(rec_t, P.REC_OPACITY)
+        ca = _col(rec_t, P.REC_CONIC_A)
+        cb = _col(rec_t, P.REC_CONIC_B)
+        cc = _col(rec_t, P.REC_CONIC_C)
+        dop = jnp.sum(dalpha * weight, axis=1, keepdims=True)    # (C, 1)
+        dq = dalpha * op * weight * (-0.5)                       # dL/d(power)
         dca = jnp.sum(dq * dx * dx, axis=1, keepdims=True)
         dcb = jnp.sum(dq * 2.0 * dx * dy, axis=1, keepdims=True)
         dcc = jnp.sum(dq * dy * dy, axis=1, keepdims=True)
@@ -314,125 +370,131 @@ def _bwd_kernel(starts_ref, counts_ref, rec_hbm, out_tile_ref, g_tile_ref,
                       axis=1, keepdims=True)
         dmy = jnp.sum(dq * (-(2.0 * cc * dy + 2.0 * cb * dx)),
                       axis=1, keepdims=True)
-        # dpayload[g, c] = sum_p W[g, p] * g5[c, p]   (4 rows: rgb + depth;
+        # dpayload[j, c] = sum_p W[j, p] * g[c, tl_j, p]  (4 rows: rgb+depth;
         # the "one" payload row is constant)
-        dpay = [jnp.sum(W * g5[c:c + 1, :], axis=1, keepdims=True)
-                for c in range(4)]
+        dpay = [jnp.sum(W * gtile[c], axis=1, keepdims=True) for c in range(4)]
 
-        d_chunk = jnp.concatenate(
+        zero = jnp.zeros((chunk, 1), jnp.float32)
+        d_chunk_t = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop,
-             jnp.zeros((chunk, 5), jnp.float32)]     # rows 6..10 (bbox+spare)
-            + dpay
-            + [jnp.zeros((chunk, P.REC_LANES - 15), jnp.float32)],
-            axis=1)
-        # First chunk: rows before `shift` hold the previous tile's already-
-        # written gradients (the aligned window overlaps its range) -- keep
-        # them. The grid is sequential, so the previous tile has finished.
-        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, P.REC_LANES), 0)
-        keep_prev = jnp.logical_and(i == 0, row < shift)
+             zero, zero, zero, zero, zero]                       # bbox + tile
+            + dpay + [zero],
+            axis=1)                                              # (C, 16)
+        d_chunk = jnp.swapaxes(d_chunk_t, 0, 1)                  # (16, C)
+        # First chunk: lanes before the group's true start hold the previous
+        # group's already-written gradients (the aligned window overlaps its
+        # range) -- keep them. The grid is sequential, so it has finished.
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (P.NUM_REC_ROWS, chunk), 1)
+        keep_prev = jnp.logical_and(i == 0, lane + astart < gs_ref[g])
         drec_vmem[:, :] = jnp.where(keep_prev, drec_vmem[:, :], d_chunk)
         out_dma = pltpu.make_async_copy(
-            drec_vmem, drec_hbm.at[pl.ds(off, chunk), :], sem_out)
+            drec_vmem, drec_hbm.at[:, pl.ds(off, chunk)], sem_out)
         out_dma.start()
         out_dma.wait()
 
-        T_next = T_carry * jnp.exp(s_incl[chunk - 1:chunk, :])
-        u_next = u_done + prefix_incl[chunk - 1:chunk, :]
-        return T_next, u_next
+        t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
+        u_incl_full = prefix
+        return (t_incl_full[chunk - 1:chunk, :],
+                seg[chunk - 1:chunk, :],
+                u_incl_full[chunk - 1:chunk, :])
 
     @pl.when(nchunks > 0)
     def _():
         in_dma(0).start()
 
-    T0 = jnp.ones((1, pix), jnp.float32)
-    U0 = jnp.zeros((1, pix), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (T0, U0))
+    t0 = jnp.ones((1, pix), jnp.float32)
+    seg0 = jnp.full((1, 1), -1.0, jnp.float32)
+    u0 = jnp.zeros((1, pix), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (t0, seg0, u0))
 
 
-def _bwd_pallas(records_padded, starts, counts, tile_out, g_tile,
-                num_tiles: int, ntx: int, config: RasterizerConfig,
-                interpret: bool):
+def _bwd_pallas(records, group_starts, tile_out, g_tile, num_groups: int,
+                config: RasterizerConfig, interpret: bool):
     ts = config.tile_size
     pix = ts * ts
-    kernel = functools.partial(_bwd_kernel, ntx=ntx, config=config)
+    gt = config.group_tiles
+    kernel = functools.partial(_bwd_kernel, gt=gt, config=config)
+    blk = pl.BlockSpec((1, OUT_CHANNELS, gt, pix), lambda g, s: (g, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),
-                pl.BlockSpec((1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, OUT_CHANNELS, pix), lambda t, s, c: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            num_scalar_prefetch=1,
+            grid=(num_groups,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, config.chunk_size, P.REC_LANES), jnp.float32),
-                pltpu.VMEM((config.chunk_size, P.REC_LANES), jnp.float32),
+                pltpu.VMEM((2, P.NUM_REC_ROWS, config.chunk_size),
+                           jnp.float32),
+                pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(records_padded.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
-    )(starts, counts, records_padded, tile_out, g_tile)
+    )(group_starts, records, tile_out, g_tile)
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def rasterize_pairs(records, starts, counts, num_tiles: int, ntx: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_pairs(records, group_starts, num_groups: int,
                     config: RasterizerConfig, interpret: bool):
-    """records (MP, REC_LANES) -> tile_out (NT, OUT_CHANNELS, ts*ts).
+    """records (NUM_REC_ROWS, MP) -> (num_groups, OUT_CHANNELS, GT, ts*ts).
 
-    MP must be a multiple of config.chunk_size; one extra zero chunk is
+    MP must be a multiple of config.chunk_size; one extra sentinel chunk is
     appended internally so the last chunk's DMA never reads out of bounds.
+    group_starts: (num_groups + 1,) int32 pair offsets of each tile group.
     """
-    tile_out, _ = _rasterize_fwd_impl(records, starts, counts, num_tiles,
-                                      ntx, config, interpret)
+    tile_out, _ = _rasterize_fwd_impl(records, group_starts, num_groups,
+                                      config, interpret)
     return tile_out
 
 
-def _pad_records(records, chunk: int):
-    return jnp.pad(records, ((0, chunk), (0, 0)))
+def _pad_records(records, config: RasterizerConfig):
+    """Append one zeroed chunk whose tile-id row is the sentinel (never
+    matches any group), so overhang DMA lanes are masked out."""
+    chunk = config.chunk_size
+    rp = jnp.pad(records, ((0, 0), (0, chunk)))
+    sentinel = jnp.full((1, chunk), 2.0**24, records.dtype)
+    return jax.lax.dynamic_update_slice(
+        rp, sentinel, (P.REC_TILE, records.shape[1]))
 
 
-def _rasterize_fwd_impl(records, starts, counts, num_tiles, ntx, config,
-                        interpret):
-    assert records.shape[0] % config.chunk_size == 0, \
+def _rasterize_fwd_impl(records, group_starts, num_groups, config, interpret):
+    assert records.shape[0] == P.NUM_REC_ROWS
+    assert records.shape[1] % config.chunk_size == 0, \
         "MAX_PAIRS must be a multiple of chunk_size (binning guarantees this)"
-    assert records.shape[1] == P.REC_LANES
-    rp = _pad_records(records, config.chunk_size)
-    tile_out = _fwd_pallas(rp, starts, counts, num_tiles, ntx, config,
-                           interpret)
-    return tile_out, (records, starts, counts, tile_out)
+    assert group_starts.shape == (num_groups + 1,)
+    rp = _pad_records(records, config)
+    tile_out = _fwd_pallas(rp, group_starts, num_groups, config, interpret)
+    return tile_out, (records, group_starts, tile_out)
 
 
-def _rasterize_fwd(records, starts, counts, num_tiles, ntx, config, interpret):
-    tile_out, res = _rasterize_fwd_impl(records, starts, counts, num_tiles,
-                                        ntx, config, interpret)
-    return tile_out, res
+def _rasterize_fwd(records, group_starts, num_groups, config, interpret):
+    return _rasterize_fwd_impl(records, group_starts, num_groups, config,
+                               interpret)
 
 
-def _rasterize_bwd(num_tiles, ntx, config, interpret, res, g_tile):
-    records, starts, counts, tile_out = res
-    rp = _pad_records(records, config.chunk_size)
-    drec = _bwd_pallas(rp, starts, counts, tile_out, g_tile, num_tiles, ntx,
+def _rasterize_bwd(num_groups, config, interpret, res, g_tile):
+    records, group_starts, tile_out = res
+    rp = _pad_records(records, config)
+    drec = _bwd_pallas(rp, group_starts, tile_out, g_tile, num_groups,
                        config, interpret)
-    drec = drec[:records.shape[0], :]
-    # pairs beyond every tile's range are never written by the kernel: zero
-    # them (the gather transpose would otherwise scatter garbage).
-    total = counts.sum()
-    pair_pos = jnp.arange(records.shape[0], dtype=jnp.int32)[:, None]
-    drec = jnp.where(pair_pos < total, drec, 0.0)
-    return drec, None, None
+    drec = drec[:, :records.shape[1]]
+    # lanes beyond the last group's range are never written by the kernel:
+    # zero them (the gather transpose would otherwise scatter garbage).
+    total = group_starts[-1]
+    lane = jnp.arange(records.shape[1], dtype=jnp.int32)[None, :]
+    drec = jnp.where(lane < total, drec, 0.0)
+    return drec, None
 
 
 rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
@@ -443,9 +505,10 @@ rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
 # ---------------------------------------------------------------------------
 
 def untile(tile_out, ntx: int, nty: int, ts: int, height: int, width: int):
-    """(NT, C, ts*ts) channel-major tiles -> (H, W, C)."""
-    c = tile_out.shape[1]
-    img = tile_out.reshape(nty, ntx, c, ts, ts)
+    """(NG, C, GT, ts*ts) channel-major tile groups -> (H, W, C)."""
+    ng, c, gt, pix = tile_out.shape
+    flat = tile_out.transpose(0, 2, 1, 3).reshape(ng * gt, c, pix)
+    img = flat[:ntx * nty].reshape(nty, ntx, c, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(nty * ts, ntx * ts, c)
     return img[:height, :width]
 
@@ -468,14 +531,17 @@ def render_tiled(
     h, w = camera.height, camera.width
     ts = config.tile_size
     ntx, nty = tile_grid(w, h, ts)
+    num_groups = -(-(ntx * nty) // config.group_tiles)
 
     proj = project_gaussians(model, camera, config, active_sh_degree,
                              mean2d_offset)
     bins = bin_gaussians(proj, w, h, config)
     tile_out = rasterize_pairs(
-        bins.pair_records, bins.tile_starts, bins.tile_counts,
-        ntx * nty, ntx, config, interpret)
-    full = untile(tile_out, ntx, nty, ts, h, w)
+        bins.pair_records, bins.group_starts, num_groups, config, interpret)
+    # untile only the channels consumed: the relayout moves ~32 bytes/pixel,
+    # a large share of the forward HBM traffic at treehill scale
+    nchan = OUT_CHANNELS if return_aux else 3
+    full = untile(tile_out[:, :nchan], ntx, nty, ts, h, w)
     image = full[..., :3]
     if config.compat.skip_last_tile:
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -485,10 +551,13 @@ def render_tiled(
         mask = ((xs < lim_x) & (ys < lim_y)).astype(image.dtype)
         image = image * mask[..., None]
     if return_aux:
+        alpha = full[..., 4]
         aux = dict(
             depth=full[..., 3],
-            alpha=full[..., 4],
-            transmittance=jax.lax.stop_gradient(full[..., OUT_T]),
+            alpha=alpha,
+            # accumulated-weight complement; differs from the exact final
+            # transmittance only by the excluded tail (< t_threshold)
+            transmittance=jax.lax.stop_gradient(1.0 - alpha),
             overflowed=bins.overflowed,
             num_pairs=bins.num_pairs,
             visible=jax.lax.stop_gradient(proj.valid),

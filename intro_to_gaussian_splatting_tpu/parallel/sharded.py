@@ -101,9 +101,9 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
     proj_strip = dataclasses.replace(proj_full, mean2d=mean2d)
 
     bins = bin_gaussians(proj_strip, w, strip_rows, rcfg)
+    num_groups = -(-(ntx * nty_local) // rcfg.group_tiles)
     tile_out = rasterize_pairs(
-        bins.pair_records, bins.tile_starts, bins.tile_counts,
-        ntx * nty_local, ntx, rcfg, interpret)
+        bins.pair_records, bins.group_starts, num_groups, rcfg, interpret)
     return untile(tile_out, ntx, nty_local, ts, strip_rows, w)
 
 

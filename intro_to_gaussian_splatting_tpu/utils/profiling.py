@@ -89,28 +89,33 @@ class Roofline:
 
 
 # Per (pixel, gaussian-pair-slot) VPU cost of one forward chunk step in the
-# transposed (chunk-sublanes x pixel-lanes) Pallas kernel: alpha eval ~18
-# flops, log1p/exp transmittance ~8, log2(chunk) shift-add prefix scan ~2/
-# step, include/weight/payload accumulation ~12.
-_VPU_FLOPS_PER_PAIR_PIXEL = 40.0
+# group-streamed Pallas kernel: alpha eval ~18 flops, segmented
+# multiplicative transmittance scan ~3 x log2(chunk) per element, include/
+# weight ~6.
+_VPU_FLOPS_PER_PAIR_PIXEL = 45.0
 
 
 def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
-                        num_tiles: int, rec_lanes: int = 128,
-                        out_channels: int = 8) -> Roofline:
+                        num_tiles: int, group_tiles: int = 64,
+                        rec_rows: int = 16, out_channels: int = 8) -> Roofline:
     """Analytic cost model for one forward pass of the Pallas rasterizer.
 
     ``num_pairs`` is the total (tile, gaussian) pair count after binning
-    (bins.num_pairs).  Chunks are padded to ``chunk_size``, so account at
-    chunk granularity like the hardware does. The transposed kernel does no
-    MXU work: compositing is VPU shift-scans + elementwise math.
+    (bins.num_pairs). The stream is consumed in chunk_size-lane windows per
+    tile GROUP, so account at chunk granularity with one average partial
+    chunk per group. Per-tile accumulation is a one-hot MXU matmul per
+    payload channel: (group_tiles, chunk) @ (chunk, pix) at fp32-HIGHEST
+    (~6 MXU passes).
     """
     pix = tile_size * tile_size
-    chunks = np.ceil(num_pairs / chunk_size) + num_tiles  # +1 avg pad per tile
+    num_groups = np.ceil(num_tiles / group_tiles)
+    chunks = np.ceil(num_pairs / chunk_size) + num_groups
     pair_slots = chunks * chunk_size
     vpu = pair_slots * pix * _VPU_FLOPS_PER_PAIR_PIXEL
-    hbm = pair_slots * rec_lanes * 4 + num_tiles * pix * out_channels * 4
-    return Roofline(flops=vpu, hbm_bytes=hbm, mxu_flops=0.0,
+    mxu = chunks * 5 * 6 * (2.0 * group_tiles * chunk_size * pix)
+    hbm = pair_slots * rec_rows * 4 + num_groups * group_tiles * pix * \
+        out_channels * 4
+    return Roofline(flops=vpu + mxu, hbm_bytes=hbm, mxu_flops=mxu,
                     pixels=num_tiles * pix)
 
 

@@ -72,7 +72,7 @@ def test_benchmark_helper():
     assert res.mean_s > 0 and res.min_s <= res.mean_s
     assert res.mpix_per_s(100, 100) > 0
 
-    r = rasterizer_roofline(num_pairs=100_000, tile_size=16, chunk_size=256,
+    r = rasterizer_roofline(num_pairs=100_000, tile_size=16, chunk_size=128,
                             num_tiles=330)
     assert r.flops > 0 and r.hbm_bytes > 0 and r.mxu_flops <= r.flops
     peak_f, peak_b = TPU_PEAKS["v5e"]

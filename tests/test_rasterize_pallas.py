@@ -15,7 +15,7 @@ from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
 from tests.scenes import small_scene
 
 # small chunks so multi-chunk paths are exercised by tiny scenes
-CFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+CFG = RasterizerConfig(chunk_size=128, pairs_per_gaussian=32, group_tiles=2)
 
 
 def _render_both(n=80, width=48, height=32, seed=7, cfg=CFG, **kw):
@@ -42,7 +42,7 @@ def test_forward_nonsquare_with_partial_tiles():
 
 
 def test_forward_cuda_compat_mode():
-    cfg = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32,
+    cfg = RasterizerConfig(chunk_size=128, pairs_per_gaussian=32, group_tiles=2,
                            compat=CompatConfig.REFERENCE_CUDA,
                            t_threshold=1e-3)
     dense, tiled, _ = _render_both(cfg=cfg)
@@ -117,7 +117,7 @@ def test_gradients_finite_differences():
 
 
 def test_overflow_flag():
-    cfg = RasterizerConfig(chunk_size=32, pairs_per_gaussian=1)
+    cfg = RasterizerConfig(chunk_size=128, pairs_per_gaussian=1, group_tiles=2)
     raw, cam, model = small_scene(n=200, width=32, height=32, seed=8)
     img, aux = render_tiled(model, cam, cfg, return_aux=True, interpret=True)
     assert bool(aux["overflowed"]), "tiny pair budget should overflow"

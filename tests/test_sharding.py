@@ -19,7 +19,7 @@ from intro_to_gaussian_splatting_tpu.parallel.sharded import (
 from intro_to_gaussian_splatting_tpu.train.trainer import make_optimizer
 from tests.scenes import small_scene
 
-RCFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+RCFG = RasterizerConfig(chunk_size=128, pairs_per_gaussian=32, group_tiles=2)
 
 
 @pytest.fixture(scope="module")

@@ -15,7 +15,7 @@ from intro_to_gaussian_splatting_tpu.train.trainer import (
 )
 from tests.scenes import small_scene
 
-RCFG = RasterizerConfig(chunk_size=32, pairs_per_gaussian=32)
+RCFG = RasterizerConfig(chunk_size=128, pairs_per_gaussian=32, group_tiles=2)
 
 
 def test_ssim_identity_and_range(rng):

@@ -44,7 +44,9 @@ def main():
     )
     from intro_to_gaussian_splatting_tpu.models.camera import make_camera
     from intro_to_gaussian_splatting_tpu.models.gaussians import init_from_points
-    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        render_tiled, render_tiles, tile_pixel_mask,
+    )
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -71,9 +73,16 @@ def main():
     # its value -- and device->host transfers block forever through the
     # remote-TPU tunnel. Same reason there are no float()/np.asarray()
     # fetches of device results anywhere on the TPU path here.
-    def loss(params, model, cam):
-        img = render_tiled(model.replace(**params), cam, config,
-                           interpret=interpret)
+    # Training-step loss in the rasterizer's NATIVE tile layout: targets are
+    # pre-tiled once per dataset (image_to_tiles), so the per-step loss needs
+    # no untile relayout. The forward number below still renders the full
+    # assembled (H, W, 3) image.
+    mask = tile_pixel_mask(height, width, config)
+
+    def loss(params, model, cam, mask):
+        tiles = render_tiles(model.replace(**params), cam, config,
+                             interpret=interpret)
+        img = tiles[:, :3] * mask
         return jnp.sum(img * img)
 
     grad_fn = jax.jit(jax.grad(loss))
@@ -100,7 +109,7 @@ def main():
     log("compiling forward ...")
     jax.block_until_ready(fwd_fn(model_ref, cam))
     log("compiling backward ...")
-    jax.block_until_ready(grad_fn(params, model_ref, cam))
+    jax.block_until_ready(grad_fn(params, model_ref, cam, mask))
 
     if backend == "tpu":
         # On remote-tunneled TPU, dispatch is async and block_until_ready
@@ -118,7 +127,7 @@ def main():
             for _ in range(iters):
                 img = fwd_fn(model_ref, cam)
             for _ in range(iters):
-                g = grad_fn(params, model_ref, cam)
+                g = grad_fn(params, model_ref, cam, mask)
             jax.block_until_ready((img, g))
         log("parsing device trace ...")
         fwd_durs = device_module_durations(prof_dir, "jit_render_tiled")
@@ -132,17 +141,17 @@ def main():
             log("WARNING: no device trace events found; "
                 "falling back to host clocks (may over-report)")
             fwd_s = host_timed(fwd_fn, model_ref, cam)
-            fb_s = host_timed(grad_fn, params, model_ref, cam)
+            fb_s = host_timed(grad_fn, params, model_ref, cam, mask)
     else:
         fwd_s = host_timed(fwd_fn, model_ref, cam)
-        fb_s = host_timed(grad_fn, params, model_ref, cam)
+        fb_s = host_timed(grad_fn, params, model_ref, cam, mask)
 
     log(f"fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
         f"fwd+bwd {fb_s*1e3:.1f} ms ({mpix/fb_s:.1f} Mpix/s)")
 
     baseline_mpix_s = 6.8  # reference CUDA forward-only (BASELINE.md)
     result = {
-        "metric": "fwd+bwd Mpix/s/chip @ treehill scale (52k gaussians, 16.8 Mpix)",
+        "metric": "fwd+bwd (tile-space train loss) Mpix/s/chip @ treehill scale (52k gaussians, 16.8 Mpix)",
         "value": round(mpix / fb_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / fb_s / baseline_mpix_s, 2),
@@ -156,9 +165,9 @@ def main():
         model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
         pk = model_knn.params()
         jax.block_until_ready(fwd_fn(model_knn, cam))
-        jax.block_until_ready(grad_fn(pk, model_knn, cam))
+        jax.block_until_ready(grad_fn(pk, model_knn, cam, mask))
         fwd_k = host_timed(fwd_fn, model_knn, cam)
-        fb_k = host_timed(grad_fn, pk, model_knn, cam)
+        fb_k = host_timed(grad_fn, pk, model_knn, cam, mask)
         log(f"[knn-init, host clocks] fwd {fwd_k*1e3:.1f} ms | "
             f"fwd+bwd {fb_k*1e3:.1f} ms")
 

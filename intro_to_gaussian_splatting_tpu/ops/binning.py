@@ -32,6 +32,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
 from intro_to_gaussian_splatting_tpu.ops import projection as P
@@ -47,7 +48,7 @@ class TileBins:
     pair_records: jax.Array  # (NUM_REC_ROWS, MAX_PAIRS) f32, feature-major,
     #                          tile-grouped, means/bboxes TILE-LOCAL,
     #                          REC_TILE row = owning tile id
-    pair_gidx: jax.Array     # (MAX_PAIRS,) int32 gaussian slot per pair
+    pair_rank: jax.Array     # (MAX_PAIRS,) int32 depth rank per pair
     pair_valid: jax.Array    # (MAX_PAIRS,) bool
     tile_starts: jax.Array   # (NT,) int32 first pair of each tile
     tile_counts: jax.Array   # (NT,) int32
@@ -126,33 +127,21 @@ def bin_gaussians(
     # 4. ragged expand, gather-light. rank[p] = (number of i >= 1 with
     # offsets[i] <= p) is a scatter of ones at each gaussian's end offset
     # followed by a cumulative sum -- O(MP) log-depth scan, far cheaper on
-    # TPU than searchsorted's 20 serial gather passes. Each pair's slot
-    # offset needs no gather either: offsets are nondecreasing, so
-    # offsets[rank[p]] == running max of start offsets scattered at their
-    # own positions. The remaining per-pair geometry (span_x, tx0, ty0) is
-    # bit-packed into ONE int32 gather -- measured ~2.7 ms per s32[MP]
-    # gather at treehill scale, so 1 gather instead of 4 is ~8 ms saved.
-    assert ntx <= 4096 and nty <= 4096, "tile grid exceeds 12-bit packing"
+    # TPU than searchsorted's 20 serial gather passes. The per-pair geometry
+    # (start offset, span_x, tx0, ty0) rides ONE row gather of a packed
+    # (N, 4) matrix: XLA TPU gathers pay per ROW, so four s32[MP] element
+    # gathers (~2.7 ms each at treehill scale) collapse into one ~0.6 ms
+    # row gather.
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets[1:]].add(
         1, mode="drop")                   # offsets >= MP fall off the end
     rank = jnp.clip(jnp.cumsum(marks), 0, n - 1)                # (MP,) depth rank
-    starts_n = offsets[:-1]
-    start_scatter = jnp.zeros((max_pairs,), jnp.int32).at[starts_n].max(
-        starts_n, mode="drop")
-    k = p - jax.lax.cummax(start_scatter)                       # slot in block
-    # clip the pack inputs: zero-span gaussians can carry huge off-screen
-    # tile coords that would corrupt the packing (they are never decoded,
-    # but int32 packing must not overflow into other fields)
-    packed = ((span_x * 4096 + jnp.clip(tx0, 0, ntx - 1)) * 4096
-              + jnp.clip(ty0, 0, nty - 1))                      # (N,) 30 bits
-    gp = packed[rank]
-    span_x_p = gp >> 24
-    tx0_p = (gp >> 12) & 0xFFF
-    ty0_p = gp & 0xFFF
-    dx = k % jnp.maximum(span_x_p, 1)
-    dy = k // jnp.maximum(span_x_p, 1)
-    tile_id = (ty0_p + dy) * ntx + (tx0_p + dx)
+    geom = jnp.stack([offsets[:-1], span_x, tx0, ty0], axis=1)  # (N, 4)
+    gp = jnp.take(geom, rank, axis=0)                           # (MP, 4)
+    k = p - gp[:, 0]
+    dx = k % jnp.maximum(gp[:, 1], 1)
+    dy = k // jnp.maximum(gp[:, 1], 1)
+    tile_id = (gp[:, 3] + dy) * ntx + (gp[:, 2] + dx)
     emitted = p < total_emit
     # sentinel id for non-emitted slots: sorts after every real tile AND
     # falls outside every group's [g*GT, (g+1)*GT) range, so the rasterizer
@@ -189,30 +178,28 @@ def bin_gaussians(
     # means/bboxes in the owning tile's local pixel frame, so the rasterizer
     # shares one constant pixel-coordinate iota across every tile in flight.
     # Feature-major (NUM_REC_ROWS, MP): dense f32 layout (see projection.py).
-    pair_gidx = order[sorted_rank]                              # gaussian slots
-    records_t = pack_records(proj).T                            # (N, 16)
-    pr = jnp.take(records_t, pair_gidx, axis=0)                 # (MP, 16)
+    # Chained row takes (depth order first, then pair order) instead of one
+    # take by order[sorted_rank]: composing the indices costs a slow s32[MP]
+    # element gather, while the extra (N, 16) row take is ~free. Reverse-mode
+    # AD transposes both takes into deterministic scatter-adds.
+    records_rank = jnp.take(pack_records(proj).T, order, axis=0)  # (N, 16)
+    pr = jnp.take(records_rank, sorted_rank, axis=0)              # (MP, 16)
+    # Localization as one fused elementwise pass over (MP, 16) -- column
+    # row-vectors select which features shift by the tile origin / take the
+    # tile id -- followed by a single dense (MP, 16) -> (16, MP) transpose.
+    # (A per-column stack reads strided columns: measured ~4 ms; this ~1 ms.)
     tile_f = sorted_keys.astype(jnp.float32)
     sx = jnp.where(pair_valid, (sorted_keys % ntx) * ts, 0).astype(jnp.float32)
     sy = jnp.where(pair_valid, (sorted_keys // ntx) * ts, 0).astype(jnp.float32)
-    pair_records = jnp.stack([
-        pr[:, P.REC_MEAN_X] - sx,
-        pr[:, P.REC_MEAN_Y] - sy,
-        pr[:, P.REC_CONIC_A],
-        pr[:, P.REC_CONIC_B],
-        pr[:, P.REC_CONIC_C],
-        pr[:, P.REC_OPACITY],
-        pr[:, P.REC_MIN_X] - sx,
-        pr[:, P.REC_MAX_X] - sx,
-        pr[:, P.REC_MIN_Y] - sy,
-        pr[:, P.REC_MAX_Y] - sy,
-        tile_f,
-        pr[:, P.REC_COLOR_R],
-        pr[:, P.REC_COLOR_G],
-        pr[:, P.REC_COLOR_B],
-        pr[:, P.REC_DEPTH],
-        pr[:, P.REC_ONE],
-    ], axis=0)                                                  # (16, MP)
+    col = np.arange(P.NUM_REC_ROWS)
+    is_x = jnp.asarray(np.isin(col, [P.REC_MEAN_X, P.REC_MIN_X, P.REC_MAX_X]),
+                       jnp.float32)[None, :]
+    is_y = jnp.asarray(np.isin(col, [P.REC_MEAN_Y, P.REC_MIN_Y, P.REC_MAX_Y]),
+                       jnp.float32)[None, :]
+    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)[None, :]
+    pr = (pr * (1.0 - is_tile) - sx[:, None] * is_x - sy[:, None] * is_y
+          + tile_f[:, None] * is_tile)
+    pair_records = pr.T                                         # (16, MP)
 
     # group ranges: tiles are contiguous in the sorted pair stream, so a
     # group of GT consecutive tiles is one contiguous pair range
@@ -229,7 +216,7 @@ def bin_gaussians(
 
     return TileBins(
         pair_records=pair_records,
-        pair_gidx=pair_gidx.astype(jnp.int32),
+        pair_rank=sorted_rank.astype(jnp.int32),
         pair_valid=pair_valid,
         tile_starts=tile_starts,
         tile_counts=tile_counts.astype(jnp.int32),

@@ -505,12 +505,73 @@ rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
 # ---------------------------------------------------------------------------
 
 def untile(tile_out, ntx: int, nty: int, ts: int, height: int, width: int):
-    """(NG, C, GT, ts*ts) channel-major tile groups -> (H, W, C)."""
+    """(NG, C, GT, ts*ts) channel-major tile groups -> (H, W, C).
+
+    A pure relayout, but a costly one: ~7 ms at treehill scale (16-wide
+    inner dims defeat the (8, 128) vector tiling). The training/benchmark
+    hot path avoids it entirely via image_to_tiles + tile-space losses;
+    untile runs for display, export, and oracle comparison.
+    """
     ng, c, gt, pix = tile_out.shape
     flat = tile_out.transpose(0, 2, 1, 3).reshape(ng * gt, c, pix)
     img = flat[:ntx * nty].reshape(nty, ntx, c, ts, ts)
     img = img.transpose(0, 3, 1, 4, 2).reshape(nty * ts, ntx * ts, c)
     return img[:height, :width]
+
+
+def image_to_tiles(img: jax.Array, config: RasterizerConfig) -> jax.Array:
+    """(H, W, C) -> (NG, C, GT, ts*ts), the rasterizer's native layout.
+
+    Inverse of `untile` (up to zero padding). Training pre-tiles each target
+    image ONCE so every step's photometric loss runs directly on the
+    rasterizer output, skipping two ~200 MB relayouts per step (fwd + its
+    transpose in bwd).
+    """
+    h, w, c = img.shape
+    ts = config.tile_size
+    gt = config.group_tiles
+    ntx, nty = tile_grid(w, h, ts)
+    ng = -(-(ntx * nty) // gt)
+    pad = jnp.pad(img, ((0, nty * ts - h), (0, ntx * ts - w), (0, 0)))
+    tiles = pad.reshape(nty, ts, ntx, ts, c).transpose(0, 2, 4, 1, 3)
+    tiles = tiles.reshape(nty * ntx, c, ts * ts)
+    tiles = jnp.pad(tiles, ((0, ng * gt - nty * ntx), (0, 0), (0, 0)))
+    return tiles.reshape(ng, gt, c, ts * ts).transpose(0, 2, 1, 3)
+
+
+def tile_pixel_mask(height: int, width: int,
+                    config: RasterizerConfig) -> jax.Array:
+    """(NG, 1, GT, ts*ts) 0/1 mask of pixels inside the true image bounds."""
+    ones = jnp.ones((height, width, 1), jnp.float32)
+    return image_to_tiles(ones, config)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "active_sh_degree", "interpret"))
+def render_tiles(
+    model: GaussianModel,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+    active_sh_degree: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    mean2d_offset: Optional[jax.Array] = None,
+):
+    """Render in the rasterizer's native tile layout: (NG, 5, GT, ts*ts).
+
+    Channels are [r, g, b, depth, alpha]. Differentiable; pair gradients
+    scatter back through the binning gather exactly as in render_tiled.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    h, w = camera.height, camera.width
+    ntx, nty = tile_grid(w, h, config.tile_size)
+    num_groups = -(-(ntx * nty) // config.group_tiles)
+    proj = project_gaussians(model, camera, config, active_sh_degree,
+                             mean2d_offset)
+    bins = bin_gaussians(proj, w, h, config)
+    return rasterize_pairs(
+        bins.pair_records, bins.group_starts, num_groups, config, interpret)
 
 
 @functools.partial(

@@ -121,3 +121,36 @@ def test_overflow_flag():
     raw, cam, model = small_scene(n=200, width=32, height=32, seed=8)
     img, aux = render_tiled(model, cam, cfg, return_aux=True, interpret=True)
     assert bool(aux["overflowed"]), "tiny pair budget should overflow"
+
+
+def test_tile_space_roundtrip_and_loss():
+    """image_to_tiles is the exact inverse of untile, and the tile-space L1
+    equals the image-space L1 (the training hot path skips untile)."""
+    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        image_to_tiles, render_tiles, tile_pixel_mask, untile,
+    )
+    from intro_to_gaussian_splatting_tpu.ops.binning import tile_grid
+    from intro_to_gaussian_splatting_tpu.train.loss import l1, tile_l1
+
+    raw, cam, model = small_scene(n=80, width=40, height=24, seed=5)
+    img = render_tiled(model, cam, CFG, interpret=True)
+    tiles = render_tiles(model, cam, CFG, interpret=True)
+
+    # roundtrip: tiling the untiled image reproduces the raw rasterizer
+    # output wherever pixels are real
+    mask = tile_pixel_mask(24, 40, CFG)
+    retiled = image_to_tiles(img, CFG)
+    np.testing.assert_allclose(
+        np.asarray(retiled), np.asarray(tiles[:, :3] * mask), atol=1e-6)
+
+    # untile of render_tiles matches render_tiled
+    ntx, nty = tile_grid(40, 24, CFG.tile_size)
+    img2 = untile(tiles[:, :3], ntx, nty, CFG.tile_size, 24, 40)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img), atol=1e-6)
+
+    # tile-space L1 == image-space L1
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.uniform(0, 1, size=(24, 40, 3)), jnp.float32)
+    a = float(l1(img, target))
+    b = float(tile_l1(tiles, image_to_tiles(target, CFG), mask))
+    np.testing.assert_allclose(b, a, rtol=1e-6)

@@ -94,7 +94,7 @@ class RasterizerConfig:
     # Static capacity of the (tile, gaussian) pair buffer, as a multiple of
     # the number of gaussians. Overflowing gaussians are dropped far-to-near
     # (whole gaussians, so per-tile ranges stay exact).
-    pairs_per_gaussian: int = 8
+    pairs_per_gaussian: int = 4
     # Cap on the number of tiles a single gaussian may span per axis.
     max_span: int = 32
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)

@@ -94,6 +94,37 @@ def covariance_3d(log_scales: jax.Array, quats: jax.Array) -> jax.Array:
     return matmul32(RS, jnp.swapaxes(RS, -1, -2))
 
 
+def covariance_3d_channels(log_scales: jax.Array, quats: jax.Array):
+    """Sigma = (R S)(R S)^T as six (N,) channels (xx, xy, xz, yy, yz, zz).
+
+    Same math as covariance_3d, but struct-of-arrays: batched 3x3 matmuls
+    put 3-wide minor dims on 128-wide TPU lanes (measured ~0.6 ms per
+    dot_general at 52k gaussians); expanded channel arithmetic fuses into
+    one elementwise pass.
+    """
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s2 = jnp.exp(2.0 * log_scales)                    # (N, 3) = diag(S)^2
+    e0, e1, e2 = s2[..., 0], s2[..., 1], s2[..., 2]
+    # Sigma_ab = sum_j R_aj R_bj s_j^2
+    sxx = r00 * r00 * e0 + r01 * r01 * e1 + r02 * r02 * e2
+    sxy = r00 * r10 * e0 + r01 * r11 * e1 + r02 * r12 * e2
+    sxz = r00 * r20 * e0 + r01 * r21 * e1 + r02 * r22 * e2
+    syy = r10 * r10 * e0 + r11 * r11 * e1 + r12 * r12 * e2
+    syz = r10 * r20 * e0 + r11 * r21 * e1 + r12 * r22 * e2
+    szz = r20 * r20 * e0 + r21 * r21 * e1 + r22 * r22 * e2
+    return sxx, sxy, sxz, syy, syz, szz
+
+
 def knn_mean_scale(points: jax.Array, k: int = 3, chunk: int = 1024) -> jax.Array:
     """Mean distance to the k nearest neighbors, per point.
 

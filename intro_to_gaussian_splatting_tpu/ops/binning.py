@@ -65,6 +65,61 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.custom_vjp
+def _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi):
+    """Row-gather records into sorted pair order, with a gather-only VJP.
+
+    The autodiff transpose of this take is a scatter-add with duplicate
+    indices, which XLA lowers through an extra full sort (~6 ms at treehill
+    scale). But each gaussian's pairs are CONTIGUOUS in emission order
+    [offsets[i], offsets[i+1]), so the backward is instead: permute pair
+    gradients back to emission order (row gather by the sort's inverse
+    permutation), then reduce each contiguous block as a difference of an
+    exclusive running sum -- gathers and scans only, no sorted scatter.
+    """
+    del inv_perm, lo, hi
+    return jnp.take(records_rank, sorted_rank, axis=0)
+
+
+def _gather_pairs_fwd(records_rank, sorted_rank, inv_perm, lo, hi):
+    return _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi), \
+        (sorted_rank, inv_perm, lo, hi)
+
+
+_CUM_BLOCK = 512
+
+
+def _gather_pairs_bwd(res, g):
+    _, inv_perm, lo, hi = res
+    g_em = jnp.take(g, inv_perm, axis=0)                    # emission order
+    # Two-level exclusive running sum. A flat fp32 cumsum would put
+    # ~eps * (global gradient mass) of rounding error into EVERY per-block
+    # difference; with intra-block prefixes + a coarse prefix of block
+    # totals, a segment inside one block sees only block-local rounding
+    # (the coarse terms cancel exactly) and a spanning segment sees one
+    # coarse rounding instead of `len` of them.
+    mp, c = g_em.shape
+    b = _CUM_BLOCK
+    nb = -(-mp // b)
+    gp = jnp.pad(g_em, ((0, (nb + 1) * b - mp), (0, 0)))
+    fine = jnp.cumsum(gp.reshape(nb + 1, b, c), axis=1)
+    totals = fine[:, -1]                                     # (NB+1, C)
+    coarse = jnp.cumsum(totals, axis=0) - totals             # exclusive
+    fine_ex = jnp.concatenate(
+        [jnp.zeros((nb + 1, 1, c), g.dtype), fine[:, :-1]], axis=1)
+    fine_flat = fine_ex.reshape((nb + 1) * b, c)
+
+    chi, clo = jnp.take(coarse, hi // b, axis=0), jnp.take(coarse, lo // b,
+                                                           axis=0)
+    fhi, flo = jnp.take(fine_flat, hi, axis=0), jnp.take(fine_flat, lo,
+                                                         axis=0)
+    d_records = (chi - clo) + (fhi - flo)
+    return d_records, None, None, None, None
+
+
+_gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -151,8 +206,12 @@ def bin_gaussians(
     sentinel = num_groups * gt
     tile_key = jnp.where(emitted, tile_id, sentinel).astype(jnp.int32)
 
-    # 5. stable sort by tile: depth order preserved within a tile
-    sorted_keys, sorted_rank = jax.lax.sort_key_val(tile_key, rank, is_stable=True)
+    # 5. stable sort by tile: depth order preserved within a tile. The
+    # permutation and its inverse feed the gather-only backward of
+    # _gather_pairs (the inverse-sort is dead code in forward-only graphs).
+    sorted_keys, sorted_rank, perm = jax.lax.sort(
+        (tile_key, rank, p), dimension=0, is_stable=True, num_keys=1)
+    _, inv_perm = jax.lax.sort_key_val(perm, p)
     pair_valid = sorted_keys < num_tiles
 
     # 6. per-tile ranges WITHOUT searchsorted (binary search = 20 serial
@@ -180,10 +239,14 @@ def bin_gaussians(
     # Feature-major (NUM_REC_ROWS, MP): dense f32 layout (see projection.py).
     # Chained row takes (depth order first, then pair order) instead of one
     # take by order[sorted_rank]: composing the indices costs a slow s32[MP]
-    # element gather, while the extra (N, 16) row take is ~free. Reverse-mode
-    # AD transposes both takes into deterministic scatter-adds.
+    # element gather, while the extra (N, 16) row take is ~free. The second
+    # take uses the custom gather-only VJP above (emission-contiguous
+    # cumsum-diff reduction); the first transposes to a tiny (N, 16)
+    # permutation scatter.
     records_rank = jnp.take(pack_records(proj).T, order, axis=0)  # (N, 16)
-    pr = jnp.take(records_rank, sorted_rank, axis=0)              # (MP, 16)
+    lo = jnp.minimum(offsets[:-1], total_emit).astype(jnp.int32)
+    hi = jnp.minimum(offsets[1:], total_emit).astype(jnp.int32)
+    pr = _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi)
     # Localization as one fused elementwise pass over (MP, 16) -- column
     # row-vectors select which features shift by the tile origin / take the
     # tile id -- followed by a single dense (MP, 16) -> (16, MP) transpose.

@@ -26,9 +26,11 @@ import jax.numpy as jnp
 
 from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
 from intro_to_gaussian_splatting_tpu.models.camera import Camera
-from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel, covariance_3d
+from intro_to_gaussian_splatting_tpu.models.gaussians import (
+    GaussianModel,
+    covariance_3d_channels,
+)
 from intro_to_gaussian_splatting_tpu.models.sh import eval_sh
-from intro_to_gaussian_splatting_tpu.utils.nputil import matmul32
 
 # Feature-row indices of the packed splat record matrix (see pack_records).
 # Geometry rows first; the differentiable "payload" rows [r, g, b, depth, 1]
@@ -87,22 +89,30 @@ def project_gaussians(
 ) -> ProjectedGaussians:
     f32 = jnp.float32
     means = model.means.astype(f32)
-    n = means.shape[0]
-    ones = jnp.ones((n, 1), dtype=f32)
-    homog = jnp.concatenate([means, ones], axis=1)          # (N, 4)
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
 
-    w2v = camera.world2view.astype(f32)
-    p_view = matmul32(homog, w2v)                           # (N, 4), camera space
-    depth = p_view[:, 2]
+    # All geometry below is struct-of-arrays: per-gaussian 4x4/3x3/2x3
+    # matmuls put 2-4-wide minor dims onto 128-wide TPU lanes (32x register
+    # padding, ~0.6 ms per batched dot_general at 52k gaussians); expanding
+    # against the CONSTANT camera matrices makes the whole geometry pass one
+    # fused elementwise kernel, forward and transposed.
+    w2v = camera.world2view.astype(f32)                     # (4, 4) constant
+
+    def affine(m, col):                                     # row-vector p @ M
+        return mx * m[0, col] + my * m[1, col] + mz * m[2, col] + m[3, col]
+
+    xv = affine(w2v, 0)
+    yv = affine(w2v, 1)
+    depth = affine(w2v, 2)                                  # camera-space z
     in_frustum = depth >= config.frustum_min_z              # ref utils.py:294
 
     # --- NDC -> pixel centers (ref gaussian_scene.py:87-97)
-    p_clip = matmul32(homog, camera.full_proj.astype(f32))
-    w = p_clip[:, 3:4]
+    fp = camera.full_proj.astype(f32)
+    w = affine(fp, 3)
     w_safe = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
-    p_ndc = p_clip[:, :3] / w_safe
     mean2d = jnp.stack(
-        [ndc2pix(p_ndc[:, 0], camera.width), ndc2pix(p_ndc[:, 1], camera.height)],
+        [ndc2pix(affine(fp, 0) / w_safe, camera.width),
+         ndc2pix(affine(fp, 1) / w_safe, camera.height)],
         axis=1,
     )
     if mean2d_offset is not None:
@@ -111,28 +121,34 @@ def project_gaussians(
         mean2d = mean2d + mean2d_offset
 
     # --- EWA 2D covariance (ref utils.py:320-354)
-    cov3d = covariance_3d(model.log_scales.astype(f32), model.quats.astype(f32))
-    z = p_view[:, 2]
+    sxx, sxy, sxz, syy, syz, szz = covariance_3d_channels(
+        model.log_scales.astype(f32), model.quats.astype(f32))
+    z = depth
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     limx = config.ewa_clamp * camera.tan_fovx
     limy = config.ewa_clamp * camera.tan_fovy
-    x = jnp.clip(p_view[:, 0] / z_safe, -limx, limx) * z
-    y = jnp.clip(p_view[:, 1] / z_safe, -limy, limy) * z
+    x = jnp.clip(xv / z_safe, -limx, limx) * z
+    y = jnp.clip(yv / z_safe, -limy, limy) * z
     fx, fy = camera.fx, camera.fy
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
-    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]   (N, 2, 3)
-    zeros = jnp.zeros_like(z)
-    J = jnp.stack([
-        jnp.stack([fx * inv_z, zeros, -fx * x * inv_z2], axis=1),
-        jnp.stack([zeros, fy * inv_z, -fy * y * inv_z2], axis=1),
-    ], axis=1)
-    W = w2v[:3, :3].T                                       # ref utils.py:352
-    JW = matmul32(J, W)                                     # (N, 2, 3)
-    cov2d = matmul32(matmul32(JW, cov3d), jnp.swapaxes(JW, 1, 2))  # (N, 2, 2)
-    a = cov2d[:, 0, 0] + config.cov2d_dilation
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + config.cov2d_dilation
+    # M = J @ W with J = [[fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]] and
+    # W = w2v[:3,:3].T (ref utils.py:344-352): W rows are constants, so the
+    # six M elements are elementwise combinations.
+    j00, j02 = fx * inv_z, -fx * x * inv_z2
+    j11, j12 = fy * inv_z, -fy * y * inv_z2
+    m = [[j00 * w2v[k, 0] + j02 * w2v[k, 2] for k in range(3)],
+         [j11 * w2v[k, 1] + j12 * w2v[k, 2] for k in range(3)]]
+
+    def quad(u, v):                                         # u . Sigma3d . v
+        return (u[0] * v[0] * sxx + u[1] * v[1] * syy + u[2] * v[2] * szz
+                + (u[0] * v[1] + u[1] * v[0]) * sxy
+                + (u[0] * v[2] + u[2] * v[0]) * sxz
+                + (u[1] * v[2] + u[2] * v[1]) * syz)
+
+    a = quad(m[0], m[0]) + config.cov2d_dilation
+    b = quad(m[0], m[1])
+    c = quad(m[1], m[1]) + config.cov2d_dilation
 
     # --- conic = closed-form inverse with det clamp (ref utils.py:368-393)
     det = a * c - b * b

@@ -73,15 +73,21 @@ def main():
     if mode == "fwd":
         fn = lambda: render_tiled(model, cam, config, interpret=False)
     else:
+        # mirror bench.py: tile-space loss, pre-tiled mask
+        from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+            render_tiles, tile_pixel_mask,
+        )
         params = model.params()
+        mask = tile_pixel_mask(height, width, config)
 
-        def loss(p):
-            img = render_tiled(model.replace(**p), cam, config,
-                               interpret=False)
+        def loss(p, model, cam, mask):
+            tiles = render_tiles(model.replace(**p), cam, config,
+                                 interpret=False)
+            img = tiles[:, :3] * mask
             return jnp.sum(img * img)
 
         g = jax.jit(jax.grad(loss))
-        fn = lambda: g(params)
+        fn = lambda: g(params, model, cam, mask)
 
     print("compiling ...", file=sys.stderr)
     jax.block_until_ready(fn())

@@ -154,3 +154,40 @@ def test_tile_space_roundtrip_and_loss():
     a = float(l1(img, target))
     b = float(tile_l1(tiles, image_to_tiles(target, CFG), mask))
     np.testing.assert_allclose(b, a, rtol=1e-6)
+
+
+def test_gather_pairs_vjp_matches_scatter_add():
+    """The gather-only VJP of the pair gather (cumsum-diff over emission-
+    contiguous blocks) must match the exact scatter-add reduction, including
+    under adversarial same-sign values where running-sum rounding is worst."""
+    from intro_to_gaussian_splatting_tpu.ops.binning import _gather_pairs
+
+    rng = np.random.default_rng(3)
+    n, mp = 3000, 65536
+    counts = rng.integers(0, 9, size=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    total = int(min(offsets[-1], mp))
+    lo = np.minimum(offsets[:-1], total).astype(np.int32)
+    hi = np.minimum(offsets[1:], total).astype(np.int32)
+    # emission-order gaussian ids, then a random "tile sort" permutation
+    rank = np.zeros(mp, np.int32)
+    for i in range(n):
+        rank[lo[i]:hi[i]] = i
+    perm = rng.permutation(mp).astype(np.int32)   # sorted slot -> emission
+    inv_perm = np.argsort(perm).astype(np.int32)  # emission -> sorted slot
+    sorted_rank = rank[perm]
+    records = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    # same-sign cotangent: worst case for prefix-sum rounding
+    g = jnp.asarray(np.abs(rng.normal(size=(mp, 16))), jnp.float32)
+    g = g * jnp.asarray(perm < total, jnp.float32)[:, None]
+
+    _, vjp = jax.vjp(
+        lambda r: _gather_pairs(r, jnp.asarray(sorted_rank),
+                                jnp.asarray(inv_perm), jnp.asarray(lo),
+                                jnp.asarray(hi)), records)
+    (got,) = vjp(g)
+
+    g_em = np.asarray(g)[perm.argsort()][:total]
+    want = np.zeros((n, 16), np.float64)
+    np.add.at(want, rank[:total], g_em.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=1e-3)

@@ -276,7 +276,7 @@ def _fwd_pallas(records, group_starts, num_groups: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
-                rec_vmem, drec_vmem, sem_in, sem_out,
+                rec_vmem, drec_vmem, sem_in, sem_out, sem_merge,
                 *, gt: int, config: RasterizerConfig):
     ts = config.tile_size
     chunk = config.chunk_size
@@ -292,6 +292,10 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
     u_all = jnp.zeros((gt, pix), jnp.float32)
     for c in range(P.NUM_PAYLOAD):
         u_all = u_all + g_blk[0, c] * out_blk[0, c]
+    # one (GT, 6*PIX) matrix so the per-chunk tile-indexed rows come from a
+    # single one-hot matmul instead of six
+    gcat = jnp.concatenate(
+        [g_blk[0, c] for c in range(P.NUM_PAYLOAD)] + [u_all], axis=1)
 
     def in_dma(i):
         slot = i % 2
@@ -299,10 +303,17 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
             rec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
             rec_vmem.at[slot], sem_in.at[slot])
 
+    def out_dma(i):
+        slot = i % 2
+        return pltpu.make_async_copy(
+            drec_vmem.at[slot],
+            drec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
+            sem_out.at[slot])
+
     def body(i, carry):
         # invariant: input DMA for chunk i is in flight on entry (slot i % 2)
         t_carry, seg_carry, u_carry = carry
-        off = astart + i * chunk
+        slot = i % 2
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -310,7 +321,7 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
         # while records stream in, fetch the previous group's gradients
         # already present in the first (128-lane-aligned) window
         merge_dma = pltpu.make_async_copy(
-            drec_hbm.at[:, pl.ds(off, chunk)], drec_vmem, sem_out)
+            drec_hbm.at[:, pl.ds(astart, chunk)], drec_vmem.at[0], sem_merge)
 
         @pl.when(i == 0)
         def _():
@@ -320,7 +331,7 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
         @pl.when(i == 0)
         def _():
             merge_dma.wait()
-        rec = rec_vmem[i % 2]
+        rec = rec_vmem[slot]
         rec_t = jnp.swapaxes(rec, 0, 1)
         seg, tl_row, tl_sub, inrange = _seg_state(rec, rec_t, g, gt)
 
@@ -337,15 +348,14 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
 
         # per-pair rows of the tile-indexed cotangent / forward outputs
         oh_t = (cols_gt == tl_sub).astype(jnp.float32)           # (C, GT)
-        gtile = [jax.lax.dot_general(
-            oh_t, g_blk[0, c], (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
-            for c in range(P.NUM_PAYLOAD)]                       # (C, PIX) x5
+        big = jax.lax.dot_general(
+            oh_t, gcat, (((1,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32)   # (C, 6*PIX)
+        gtile = [big[:, c * pix:(c + 1) * pix]
+                 for c in range(P.NUM_PAYLOAD)]                  # (C, PIX) x5
         gc = sum(_col(rec_t, P.PAYLOAD_START + c) * gtile[c]
                  for c in range(P.NUM_PAYLOAD))
-        u_all_row = jax.lax.dot_general(
-            oh_t, u_all, (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)
+        u_all_row = big[:, P.NUM_PAYLOAD * pix:]
 
         u = gc * W
         prefix = seg_scan_add(u, seg) + jnp.where(cont, u_carry, 0.0)
@@ -383,15 +393,17 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
         d_chunk = jnp.swapaxes(d_chunk_t, 0, 1)                  # (16, C)
         # First chunk: lanes before the group's true start hold the previous
         # group's already-written gradients (the aligned window overlaps its
-        # range) -- keep them. The grid is sequential, so it has finished.
+        # range) -- keep them. The grid is sequential and every group drains
+        # its outstanding writes before finishing, so they are visible.
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (P.NUM_REC_ROWS, chunk), 1)
         keep_prev = jnp.logical_and(i == 0, lane + astart < gs_ref[g])
-        drec_vmem[:, :] = jnp.where(keep_prev, drec_vmem[:, :], d_chunk)
-        out_dma = pltpu.make_async_copy(
-            drec_vmem, drec_hbm.at[:, pl.ds(off, chunk)], sem_out)
-        out_dma.start()
-        out_dma.wait()
+        # reuse of this slot's buffer: its write from chunk i-2 must be done
+        @pl.when(i >= 2)
+        def _():
+            out_dma(i - 2).wait()
+        drec_vmem[slot] = jnp.where(keep_prev, drec_vmem[slot], d_chunk)
+        out_dma(i).start()
 
         t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
         u_incl_full = prefix
@@ -407,6 +419,16 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
     seg0 = jnp.full((1, 1), -1.0, jnp.float32)
     u0 = jnp.zeros((1, pix), jnp.float32)
     jax.lax.fori_loop(0, nchunks, body, (t0, seg0, u0))
+
+    # drain the (up to two) outstanding gradient writes so the next group's
+    # merge-read observes them
+    @pl.when(nchunks >= 2)
+    def _():
+        out_dma(nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        out_dma(nchunks - 1).wait()
 
 
 def _bwd_pallas(records, group_starts, tile_out, g_tile, num_groups: int,
@@ -427,7 +449,9 @@ def _bwd_pallas(records, group_starts, tile_out, g_tile, num_groups: int,
             scratch_shapes=[
                 pltpu.VMEM((2, P.NUM_REC_ROWS, config.chunk_size),
                            jnp.float32),
-                pltpu.VMEM((P.NUM_REC_ROWS, config.chunk_size), jnp.float32),
+                pltpu.VMEM((2, P.NUM_REC_ROWS, config.chunk_size),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],

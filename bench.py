@@ -1,23 +1,36 @@
 #!/usr/bin/env python
-"""Benchmark: treehill-scale forward+backward rasterization on one TPU chip.
+"""Benchmark: treehill-scale TRAINING STEP (fwd+bwd+Adam) on one TPU chip.
 
 The reference's only perf number is 2.479 s for a forward-only CUDA render of
 the treehill scene -- 52,363 gaussians at 5068x3324 (~16.8 Mpix), i.e. ~6.8
 Mpix/s (BASELINE.md). The treehill dataset itself is unreachable from this
 zero-egress image, so the workload is reproduced synthetically at identical
-scale: same gaussian count, same resolution, same reference initialization
-(constant 1e-3 scales -> small splats, matching the reference's actual
-benchmark workload) plus a denser KNN-scale variant reported to stderr.
+scale: same gaussian count, same resolution.
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": "fwd+bwd Mpix/s/chip @ treehill scale", "value": ..., "unit":
-   "Mpix/s", "vs_baseline": value / 6.8}
-vs_baseline > 1 means faster than the reference's forward-only CUDA renderer
-while also computing gradients it does not have.
+Two workloads are timed (both through the profiler's device lanes):
+  * "ref-init": the reference's exact init (constant 1e-3 scales -> ~1 px
+    splats, a nearly-empty pair stream -- the easy case, and exactly what the
+    reference's own 2.479 s measures);
+  * "knn-init": paper-correct 3-NN mean-distance scales (what training
+    actually produces) -- a dense pair stream, reported alongside.
+
+The HEADLINE metric times the REAL training path: `train.trainer.train_step`
+(projection, binning, Pallas fwd+bwd, tile-space L1 + SSIM, probe gradients,
+Adam update) -- not a proxy loss. Roofline ratios compare the forward
+render's device time against the analytic HBM/FLOP bound for the measured
+pair count (utils/profiling.rasterizer_roofline).
+
+Prints exactly ONE JSON line to stdout (extra context keys beyond
+metric/value/unit/vs_baseline are informational):
+  {"metric": "...train step Mpix/s/chip...", "value": ..., "unit":
+   "Mpix/s", "vs_baseline": value / 6.8, ...}
+vs_baseline > 1 means one full optimization step runs faster than the
+reference's forward-only CUDA render.
 """
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -32,20 +45,50 @@ def log(*a):
           flush=True)
 
 
+def _count_pairs_on_cpu(model, cam, config):
+    """bins.num_pairs for the roofline model, computed on the host CPU
+    backend (a device->host fetch of the TPU value can block on tunneled
+    transports; the count is input-deterministic, so the CPU run is exact)."""
+    import jax
+
+    from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians
+    from intro_to_gaussian_splatting_tpu.ops.projection import (
+        project_gaussians,
+    )
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        m = jax.device_put(jax.tree.map(np.asarray, model), cpu)
+        c = jax.device_put(jax.tree.map(np.asarray, cam), cpu)
+        proj = project_gaussians(m, c, config)
+        bins = bin_gaussians(proj, cam.width, cam.height, config)
+        return int(bins.num_pairs)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+    from intro_to_gaussian_splatting_tpu.config import (
+        RasterizerConfig, TrainConfig,
+    )
     from intro_to_gaussian_splatting_tpu.io.synthetic import (
         random_point_cloud, ring_cameras,
     )
     from intro_to_gaussian_splatting_tpu.models.camera import make_camera
     from intro_to_gaussian_splatting_tpu.models.gaussians import init_from_points
+    from intro_to_gaussian_splatting_tpu.ops.binning import tile_grid
     from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
-        render_tiled, render_tiles, tile_pixel_mask,
+        image_to_tiles, render_tiled, tile_pixel_mask,
+    )
+    from intro_to_gaussian_splatting_tpu.train import densify as D
+    from intro_to_gaussian_splatting_tpu.train.trainer import (
+        make_optimizer, train_step,
+    )
+    from intro_to_gaussian_splatting_tpu.utils.profiling import (
+        TPU_PEAKS, rasterizer_roofline,
     )
 
     backend = jax.default_backend()
@@ -65,111 +108,147 @@ def main():
     cam = make_camera(fx=focal, fy=focal, width=width, height=height,
                       qvec=qvec, tvec=tvec)
     config = RasterizerConfig()
+    tcfg = TrainConfig()
     interpret = backend != "tpu"
-
-    # IMPORTANT (axon/remote-TPU): model and cam must be explicit jit
-    # ARGUMENTS, never closure captures. A closed-over device array becomes
-    # an MLIR constant at lower() time, which forces a device->host fetch of
-    # its value -- and device->host transfers block forever through the
-    # remote-TPU tunnel. Same reason there are no float()/np.asarray()
-    # fetches of device results anywhere on the TPU path here.
-    # Training-step loss in the rasterizer's NATIVE tile layout: targets are
-    # pre-tiled once per dataset (image_to_tiles), so the per-step loss needs
-    # no untile relayout. The forward number below still renders the full
-    # assembled (H, W, 3) image.
-    mask = tile_pixel_mask(height, width, config)
-
-    def loss(params, model, cam, mask):
-        tiles = render_tiles(model.replace(**params), cam, config,
-                             interpret=interpret)
-        img = tiles[:, :3] * mask
-        return jnp.sum(img * img)
-
-    grad_fn = jax.jit(jax.grad(loss))
-    fwd_fn = functools.partial(render_tiled, config=config,
-                               interpret=interpret)
-
     mpix = width * height / 1e6
     iters = 5
 
-    def host_timed(fn, *args):
-        """Host wall clock per iteration -- valid where block_until_ready
-        actually synchronizes (CPU, local TPU VMs)."""
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+    # IMPORTANT (axon/remote-TPU): model and cam must be explicit jit
+    # ARGUMENTS, never closure captures, and NO device value is ever fetched
+    # to the host on the TPU path (device->host transfers can block forever
+    # through the remote-TPU tunnel; timing comes from the profiler's device
+    # lanes instead).
 
-    # reference-equivalent workload: constant 1e-3 scales (tiny splats),
-    # opacity inverse_sigmoid(0.9999) -- exactly the reference init.
-    model_ref = init_from_points(xyz, rgb)
-    params = model_ref.params()
+    # synthetic ground-truth target: a smooth gradient image, pre-tiled once
+    # exactly as Trainer does
+    yy = np.linspace(0.0, 1.0, height, dtype=np.float32)[:, None, None]
+    xx = np.linspace(0.0, 1.0, width, dtype=np.float32)[None, :, None]
+    target = np.broadcast_to(
+        np.concatenate([yy + 0 * xx, 0 * yy + xx, 0.5 * (yy + xx)], axis=2),
+        (height, width, 3)).copy()
+    target = jnp.asarray(target)
+    target_tiles = jax.jit(image_to_tiles, static_argnames="config")(
+        target, config)
+    target_mask = tile_pixel_mask(height, width, config)
+    target_chw = jnp.transpose(target, (2, 0, 1))  # SSIM layout
 
-    log("compiling forward ...")
-    jax.block_until_ready(fwd_fn(model_ref, cam))
-    log("compiling backward ...")
-    jax.block_until_ready(grad_fn(params, model_ref, cam, mask))
+    def setup_train(model):
+        scene_extent = 10.0
+        tx = make_optimizer(tcfg, scene_extent)
+        opt_state = tx.init(model.params())
+        dstate = D.DensifyState.zero(model.capacity)
+        return tx, opt_state, dstate
 
-    if backend == "tpu":
-        # On remote-tunneled TPU, dispatch is async and block_until_ready
-        # does NOT synchronize (host wall clocks read out impossibly fast).
-        # The profiler's device lanes record true on-device times, so time
-        # through one trace session and read back the module durations.
-        from intro_to_gaussian_splatting_tpu.utils.profiling import (
-            device_module_durations,
-        )
-        prof_dir = "/tmp/gstpu_bench_prof"
-        import shutil
-        shutil.rmtree(prof_dir, ignore_errors=True)
-        log("tracing timed iterations ...")
-        with jax.profiler.trace(prof_dir):
-            for _ in range(iters):
-                img = fwd_fn(model_ref, cam)
-            for _ in range(iters):
-                g = grad_fn(params, model_ref, cam, mask)
-            jax.block_until_ready((img, g))
-        log("parsing device trace ...")
-        fwd_durs = device_module_durations(prof_dir, "jit_render_tiled")
-        bwd_durs = device_module_durations(prof_dir, "jit_loss")
-        log(f"device durations: fwd {[round(d*1e3,1) for d in fwd_durs]} ms, "
-            f"bwd {[round(d*1e3,1) for d in bwd_durs]} ms")
-        if fwd_durs and bwd_durs:
-            fwd_s = float(np.median(fwd_durs))
-            fb_s = float(np.median(bwd_durs))  # grad module includes fwd+bwd
+    fwd_fn = functools.partial(render_tiled, config=config,
+                               interpret=interpret)
+
+    def timed_workloads(tag, model):
+        """Compile + run fwd and train_step; returns dict of device ms."""
+        tx, opt_state, dstate = setup_train(model)
+        params = model.params()
+
+        log(f"[{tag}] compiling forward ...")
+        out = fwd_fn(model, cam)
+        log(f"[{tag}] compiling train step (tile L1 + SSIM + Adam) ...")
+        st = train_step(model, opt_state, dstate, cam, target_tiles,
+                        target_mask, target_chw, config, tcfg, tx, 0)
+        jax.block_until_ready((out, st[3]["loss"]))
+
+        if backend == "tpu":
+            from intro_to_gaussian_splatting_tpu.utils.profiling import (
+                device_module_durations,
+            )
+            prof_dir = f"/tmp/gstpu_bench_prof_{tag}"
+            import shutil
+            shutil.rmtree(prof_dir, ignore_errors=True)
+            log(f"[{tag}] tracing timed iterations ...")
+            with jax.profiler.trace(prof_dir):
+                for _ in range(iters):
+                    img = fwd_fn(model, cam)
+                st = (model, opt_state, dstate)
+                for _ in range(iters):
+                    st = train_step(st[0], st[1], st[2], cam, target_tiles,
+                                    target_mask, target_chw, config, tcfg, tx,
+                                    0)[:3]
+                jax.block_until_ready((img, st[0].means))
+            log(f"[{tag}] parsing device trace ...")
+            fwd_durs = device_module_durations(prof_dir, "jit_render_tiled")
+            ts_durs = device_module_durations(prof_dir, "jit_train_step")
+            log(f"[{tag}] device durations: fwd "
+                f"{[round(d*1e3,1) for d in fwd_durs]} ms, train_step "
+                f"{[round(d*1e3,1) for d in ts_durs]} ms")
+            fwd_s = float(np.median(fwd_durs)) if fwd_durs else float("nan")
+            step_s = float(np.median(ts_durs)) if ts_durs else float("nan")
         else:
-            log("WARNING: no device trace events found; "
-                "falling back to host clocks (may over-report)")
-            fwd_s = host_timed(fwd_fn, model_ref, cam)
-            fb_s = host_timed(grad_fn, params, model_ref, cam, mask)
-    else:
-        fwd_s = host_timed(fwd_fn, model_ref, cam)
-        fb_s = host_timed(grad_fn, params, model_ref, cam, mask)
+            def host_timed(fn):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = fn()
+                jax.block_until_ready(out)
+                return (time.perf_counter() - t0) / iters
 
-    log(f"fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
-        f"fwd+bwd {fb_s*1e3:.1f} ms ({mpix/fb_s:.1f} Mpix/s)")
+            fwd_s = host_timed(lambda: fwd_fn(model, cam))
+            stt = [model, opt_state, dstate]
+
+            def one_step():
+                r = train_step(stt[0], stt[1], stt[2], cam, target_tiles,
+                               target_mask, target_chw, config, tcfg, tx, 0)
+                stt[0], stt[1], stt[2] = r[0], r[1], r[2]
+                return r[3]["loss"]
+
+            step_s = host_timed(one_step)
+
+        log(f"[{tag}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
+            f"train_step {step_s*1e3:.1f} ms ({mpix/step_s:.1f} Mpix/s)")
+        return dict(fwd_s=fwd_s, step_s=step_s)
+
+    def roofline_ratio(model, fwd_s):
+        """measured forward ms vs analytic bound on this chip's ceilings."""
+        try:
+            num_pairs = _count_pairs_on_cpu(model, cam, config)
+        except Exception as e:  # never let the roofline sink the bench
+            log(f"roofline pair-count failed: {e!r}")
+            return None, None
+        ntx, nty = tile_grid(width, height, config.tile_size)
+        rf = rasterizer_roofline(num_pairs, config.tile_size,
+                                 config.chunk_size, ntx * nty,
+                                 config.group_tiles)
+        peak = TPU_PEAKS.get("v5e")
+        bound_s = rf.bound(*peak)
+        return num_pairs, fwd_s / bound_s
+
+    # --- workload 1: reference init (tiny splats, near-empty pair stream)
+    model_ref = init_from_points(xyz, rgb)
+    ref = timed_workloads("ref-init", model_ref)
+
+    # --- workload 2: KNN scale init (dense pair stream -- training-like)
+    model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
+    knn = timed_workloads("knn-init", model_knn)
+
+    pairs_ref, ratio_ref = roofline_ratio(model_ref, ref["fwd_s"])
+    pairs_knn, ratio_knn = roofline_ratio(model_knn, knn["fwd_s"])
+    if ratio_ref is not None:
+        log(f"roofline: ref-init {pairs_ref} pairs, fwd measured/bound = "
+            f"{ratio_ref:.2f}x; knn-init {pairs_knn} pairs, "
+            f"{ratio_knn:.2f}x (v5e ceilings)")
 
     baseline_mpix_s = 6.8  # reference CUDA forward-only (BASELINE.md)
+    value = mpix / ref["step_s"]
     result = {
-        "metric": "fwd+bwd (tile-space train loss) Mpix/s/chip @ treehill scale (52k gaussians, 16.8 Mpix)",
-        "value": round(mpix / fb_s, 2),
+        "metric": ("full train step (fwd+bwd+SSIM+Adam) Mpix/s/chip @ "
+                   "treehill scale (52k gaussians, 16.8 Mpix)"),
+        "value": round(value, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix / fb_s / baseline_mpix_s, 2),
+        "vs_baseline": round(value / baseline_mpix_s, 2),
+        "fwd_mpix_s": round(mpix / ref["fwd_s"], 2),
+        "knn_init_step_mpix_s": round(mpix / knn["step_s"], 2),
+        "knn_init_fwd_mpix_s": round(mpix / knn["fwd_s"], 2),
+        "roofline_fwd_ratio_ref": (round(ratio_ref, 3)
+                                   if ratio_ref is not None else None),
+        "roofline_fwd_ratio_knn": (round(ratio_knn, 3)
+                                   if ratio_knn is not None else None),
     }
     print(json.dumps(result))
-
-    # optional denser workload (KNN scale init): opt-in, stderr-only, never
-    # allowed to starve the headline JSON above.
-    import os
-    if os.environ.get("GSTPU_BENCH_EXTRA") == "1":
-        model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
-        pk = model_knn.params()
-        jax.block_until_ready(fwd_fn(model_knn, cam))
-        jax.block_until_ready(grad_fn(pk, model_knn, cam, mask))
-        fwd_k = host_timed(fwd_fn, model_knn, cam)
-        fb_k = host_timed(grad_fn, pk, model_knn, cam, mask)
-        log(f"[knn-init, host clocks] fwd {fwd_k*1e3:.1f} ms | "
-            f"fwd+bwd {fb_k*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -543,6 +543,21 @@ def untile(tile_out, ntx: int, nty: int, ts: int, height: int, width: int):
     return img[:height, :width]
 
 
+def untile_chw(tile_out, ntx: int, nty: int, ts: int, height: int,
+               width: int):
+    """(NG, C, GT, ts*ts) tile groups -> (C, H, W), channel-MAJOR.
+
+    Cheaper than ``untile`` on TPU (the minor dim stays W-sized instead of
+    C-sized) and feeds ``train.loss.ssim_chw`` directly -- channel-major is
+    what the depthwise SSIM blur needs anyway (see loss._blur_chw).
+    """
+    ng, c, gt, pix = tile_out.shape
+    flat = tile_out.transpose(0, 2, 1, 3).reshape(ng * gt, c, pix)
+    img = flat[:ntx * nty].reshape(nty, ntx, c, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c, nty * ts, ntx * ts)
+    return img[:, :height, :width]
+
+
 def image_to_tiles(img: jax.Array, config: RasterizerConfig) -> jax.Array:
     """(H, W, C) -> (NG, C, GT, ts*ts), the rasterizer's native layout.
 
@@ -572,12 +587,13 @@ def tile_pixel_mask(height: int, width: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "active_sh_degree", "interpret"))
+    static_argnames=("config", "active_sh_degree", "return_aux", "interpret"))
 def render_tiles(
     model: GaussianModel,
     camera: Camera,
     config: RasterizerConfig = RasterizerConfig(),
     active_sh_degree: Optional[int] = None,
+    return_aux: bool = False,
     interpret: Optional[bool] = None,
     mean2d_offset: Optional[jax.Array] = None,
 ):
@@ -585,6 +601,8 @@ def render_tiles(
 
     Channels are [r, g, b, depth, alpha]. Differentiable; pair gradients
     scatter back through the binning gather exactly as in render_tiled.
+    With ``return_aux=True`` also returns the binning/visibility aux dict
+    (the training path consumes it without ever untiling).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -594,8 +612,16 @@ def render_tiles(
     proj = project_gaussians(model, camera, config, active_sh_degree,
                              mean2d_offset)
     bins = bin_gaussians(proj, w, h, config)
-    return rasterize_pairs(
+    tiles = rasterize_pairs(
         bins.pair_records, bins.group_starts, num_groups, config, interpret)
+    if return_aux:
+        aux = dict(
+            overflowed=bins.overflowed,
+            num_pairs=bins.num_pairs,
+            visible=jax.lax.stop_gradient(proj.valid),
+        )
+        return tiles, aux
+    return tiles
 
 
 @functools.partial(

@@ -24,9 +24,41 @@ import optax
 from intro_to_gaussian_splatting_tpu.config import RasterizerConfig, TrainConfig
 from intro_to_gaussian_splatting_tpu.models.camera import Camera
 from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
-from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import render_tiled
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+    image_to_tiles,
+    render_tiled,
+    render_tiles,
+    tile_pixel_mask,
+    untile_chw,
+)
+from intro_to_gaussian_splatting_tpu.ops.binning import tile_grid
 from intro_to_gaussian_splatting_tpu.train import densify as D
-from intro_to_gaussian_splatting_tpu.train.loss import psnr, rgb_loss
+from intro_to_gaussian_splatting_tpu.train.loss import (
+    psnr, rgb_loss, ssim_chw, tile_l1, tile_psnr,
+)
+
+
+def _scale_by_sh_lr(lr_sh0: float, lr_shN: float):
+    """Descent scaling for the SH leaf: coefficient 0 (DC color) steps at
+    lr_sh0, the rest-band coefficients at lr_shN (3DGS trains rest at /20).
+
+    Adam normalizes per-element, so chaining this after ``scale_by_adam``
+    is exactly equivalent to two Adam groups with different learning rates.
+    """
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def f(u):
+            k = u.shape[1]
+            scale = jnp.full((k,), -lr_shN, u.dtype).at[0].set(-lr_sh0)
+            return u * scale[None, :, None]
+
+        return jax.tree.map(f, updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(config: TrainConfig, scene_extent: float):
@@ -41,7 +73,11 @@ def make_optimizer(config: TrainConfig, scene_extent: float):
         "log_scales": optax.adam(config.lr_scales, eps=1e-15),
         "quats": optax.adam(config.lr_quats, eps=1e-15),
         "opacity_logits": optax.adam(config.lr_opacity, eps=1e-15),
-        "sh": optax.adam(config.lr_sh0, eps=1e-15),
+        # split effective LR inside one leaf: DC at lr_sh0, rest at lr_shN
+        "sh": optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+            _scale_by_sh_lr(config.lr_sh0, config.lr_shN),
+        ),
     }
     return optax.multi_transform(txs, param_labels={k: k for k in txs})
 
@@ -53,26 +89,45 @@ def train_step(
     opt_state,
     dstate: D.DensifyState,
     camera: Camera,
-    target: jax.Array,
+    target_tiles: jax.Array,
+    target_mask: jax.Array,
+    target_image: Optional[jax.Array],
     rcfg: RasterizerConfig,
     tcfg: TrainConfig,
     tx,
     active_sh_degree: int = 0,
 ):
-    """One optimization step on one camera. Returns
-    (model, opt_state, dstate, metrics)."""
+    """One optimization step on one camera in the rasterizer's NATIVE tile
+    layout. Returns (model, opt_state, dstate, metrics).
+
+    ``target_tiles``/``target_mask`` come from ``image_to_tiles`` /
+    ``tile_pixel_mask`` (pre-computed once per camera by the Trainer), so
+    the L1 term and PSNR metric never pay the ~200 MB untile relayout the
+    kernel's grouped output would otherwise need. When ``tcfg.ssim_weight``
+    > 0 the SSIM term untiles only the 3 RGB channels, channel-major
+    (``target_image`` must then be the (3, H, W) ground truth -- the layout
+    the depthwise SSIM blur needs on TPU; pass None otherwise).
+    """
     params = model.params()
     probe = jnp.zeros((model.capacity, 2), jnp.float32)
+    h, w = camera.height, camera.width
+    ts = rcfg.tile_size
+    ntx, nty = tile_grid(w, h, ts)
 
     def loss_fn(params, probe):
         m = model.replace(**params)
-        img, aux = render_tiled(m, camera, rcfg,
-                                active_sh_degree=active_sh_degree,
-                                return_aux=True, mean2d_offset=probe)
-        loss = rgb_loss(img, target, tcfg.ssim_weight)
-        return loss, (img, aux)
+        tiles, aux = render_tiles(m, camera, rcfg,
+                                  active_sh_degree=active_sh_degree,
+                                  return_aux=True, mean2d_offset=probe)
+        loss = tile_l1(tiles, target_tiles, target_mask)
+        if tcfg.ssim_weight > 0.0:
+            img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
+            loss = ((1.0 - tcfg.ssim_weight) * loss
+                    + tcfg.ssim_weight
+                    * (1.0 - ssim_chw(img, target_image)))
+        return loss, (tiles, aux)
 
-    (loss, (img, aux)), grads = jax.value_and_grad(
+    (loss, (tiles, aux)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
     param_grads, screen_grads = grads
 
@@ -85,7 +140,8 @@ def train_step(
         params, model.params()))
 
     dstate = D.accumulate(dstate, screen_grads, aux["visible"])
-    metrics = dict(loss=loss, psnr=psnr(img, target),
+    metrics = dict(loss=loss,
+                   psnr=tile_psnr(tiles, target_tiles, target_mask),
                    num_active=model.num_active,
                    overflowed=aux["overflowed"])
     return new_model, opt_state, dstate, metrics
@@ -111,6 +167,25 @@ class Trainer:
         self.key = jax.random.PRNGKey(self.tcfg.seed)
         self.step = 0
         self.history = []
+        self._tiled = {}     # cam_idx -> (target_tiles, target_image|None)
+        self._masks = {}     # (H, W) -> tile_pixel_mask
+
+    def _target_for(self, cam_idx: int):
+        """Pre-tiled target + pixel mask for one camera, computed once."""
+        if cam_idx not in self._tiled:
+            target = self.targets[cam_idx]
+            if not isinstance(target, jnp.ndarray):
+                target = jnp.asarray(target, dtype=jnp.float32)
+            tiles = image_to_tiles(target, self.rcfg)
+            img = (target.transpose(2, 0, 1)
+                   if self.tcfg.ssim_weight > 0.0 else None)
+            self._tiled[cam_idx] = (tiles, img)
+        cam = self.cameras[cam_idx]
+        hw = (cam.height, cam.width)
+        if hw not in self._masks:
+            self._masks[hw] = tile_pixel_mask(*hw, self.rcfg)
+        tiles, img = self._tiled[cam_idx]
+        return tiles, self._masks[hw], img
 
     @property
     def active_sh_degree(self) -> int:
@@ -126,13 +201,11 @@ class Trainer:
         t0 = time.time()
         for it in range(iterations):
             cam_idx = int(order[it])
-            target = self.targets[cam_idx]
-            if not isinstance(target, jnp.ndarray):
-                target = jnp.asarray(target, dtype=jnp.float32)
-                self.targets[cam_idx] = target
+            target_tiles, target_mask, target_image = self._target_for(cam_idx)
             self.model, self.opt_state, self.dstate, metrics = train_step(
                 self.model, self.opt_state, self.dstate,
-                self.cameras[cam_idx], target,
+                self.cameras[cam_idx], target_tiles, target_mask,
+                target_image,
                 self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
             self.step += 1
             self._maybe_densify()
@@ -142,7 +215,22 @@ class Trainer:
                 self.history.append(m)
                 if self.on_log:
                     self.on_log(m)
+                if m["overflowed"]:
+                    self._grow_pair_pool()
         return self.history
+
+    def _grow_pair_pool(self):
+        """Overflow response: the (tile, gaussian) pair pool dropped whole
+        far gaussians this step (ops/binning.py drop policy). Double the
+        static pool capacity so the drop is a transient, not a steady state;
+        the next train_step call recompiles against the new capacity.
+        Checked at log boundaries: a per-step device fetch would serialize
+        the async dispatch pipeline (and block on some TPU transports)."""
+        self.rcfg = dataclasses.replace(
+            self.rcfg, pairs_per_gaussian=self.rcfg.pairs_per_gaussian * 2)
+        if self.on_log:
+            self.on_log(dict(step=self.step, event="pair_pool_grown",
+                             pairs_per_gaussian=self.rcfg.pairs_per_gaussian))
 
     def _maybe_densify(self):
         t = self.tcfg
@@ -211,6 +299,9 @@ def train_cli(args) -> int:
     extent = scene_extent_of(points.xyz)
 
     def log(m):
+        if "event" in m:
+            print(f"step {m['step']}: {m['event']} ({m})")
+            return
         print(f"step {m['step']}: loss {m['loss']:.4f} "
               f"psnr {m['psnr']:.2f} active {int(m['num_active'])}")
 

@@ -93,6 +93,14 @@ def main():
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+    if backend == "tpu":
+        # Warm the device->host fetch path FIRST: its CPU-backend
+        # executable goes through axon remote-compile (slow, queue-bound,
+        # disk-cached); everything after reuses the same f32[] executable.
+        from intro_to_gaussian_splatting_tpu.utils.fetch import warm_fetch
+        log("warming fetch path ...")
+        warm_fetch()
+        log("fetch path warm")
 
     # treehill scale (BASELINE.md): 52,363 gaussians, 5068x3324
     n_gauss = 52363
@@ -111,7 +119,7 @@ def main():
     tcfg = TrainConfig()
     interpret = backend != "tpu"
     mpix = width * height / 1e6
-    iters = 5
+    iters = 10 if backend == "tpu" else 2
 
     # IMPORTANT (axon/remote-TPU): model and cam must be explicit jit
     # ARGUMENTS, never closure captures, and NO device value is ever fetched
@@ -142,62 +150,72 @@ def main():
     fwd_fn = functools.partial(render_tiled, config=config,
                                interpret=interpret)
 
+    # --- timing strategy -----------------------------------------------
+    # On TPU, time N data-chained iterations inside one jit (fori_loop
+    # serializes them on device) and force completion with ONE host fetch
+    # through utils/fetch.host_fetch; per-iteration time = (t(2N) - t(N))/N,
+    # which cancels dispatch/fetch overhead. This replaces profiler-trace
+    # parsing (a trace session through the axon tunnel takes 6-8 minutes;
+    # block_until_ready does not synchronize on this transport, so plain
+    # host wall clocks under-measure).
+    from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch_scalar
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def fwd_chain(model, cam, n):
+        def body(i, acc):
+            m = model.replace(
+                means=model.means + acc * 1e-30)  # data dependency
+            img = fwd_fn(m, cam)
+            return acc + img[0, 0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    def make_step_chain(tx):
+        # targets MUST be explicit arguments: closure-captured device arrays
+        # become HLO constants (hundreds of MB -> remote-compile rejects the
+        # payload, and device->host fetches of them block on this transport)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def step_chain(model, opt_state, dstate, cam, tt, tm, tc, n):
+            def body(i, carry):
+                m, o, d = carry
+                m, o, d, _ = train_step(m, o, d, cam, tt, tm, tc, config,
+                                        tcfg, tx, 0)
+                return (m, o, d)
+            return jax.lax.fori_loop(0, n, body, (model, opt_state, dstate))
+        return step_chain
+
+    def chain_timed(run, n):
+        """Wall time of run(n) completed via a scalar host fetch."""
+        t0 = time.perf_counter()
+        run(n)
+        return time.perf_counter() - t0
+
     def timed_workloads(tag, model):
-        """Compile + run fwd and train_step; returns dict of device ms."""
+        """Compile + run fwd and train_step; returns dict of device seconds."""
         tx, opt_state, dstate = setup_train(model)
-        params = model.params()
+        step_chain = make_step_chain(tx)
 
-        log(f"[{tag}] compiling forward ...")
-        out = fwd_fn(model, cam)
-        log(f"[{tag}] compiling train step (tile L1 + SSIM + Adam) ...")
-        st = train_step(model, opt_state, dstate, cam, target_tiles,
-                        target_mask, target_chw, config, tcfg, tx, 0)
-        jax.block_until_ready((out, st[3]["loss"]))
+        def run_fwd(n):
+            return host_fetch_scalar(fwd_chain(model, cam, n))
 
-        if backend == "tpu":
-            from intro_to_gaussian_splatting_tpu.utils.profiling import (
-                device_module_durations,
-            )
-            prof_dir = f"/tmp/gstpu_bench_prof_{tag}"
-            import shutil
-            shutil.rmtree(prof_dir, ignore_errors=True)
-            log(f"[{tag}] tracing timed iterations ...")
-            with jax.profiler.trace(prof_dir):
-                for _ in range(iters):
-                    img = fwd_fn(model, cam)
-                st = (model, opt_state, dstate)
-                for _ in range(iters):
-                    st = train_step(st[0], st[1], st[2], cam, target_tiles,
-                                    target_mask, target_chw, config, tcfg, tx,
-                                    0)[:3]
-                jax.block_until_ready((img, st[0].means))
-            log(f"[{tag}] parsing device trace ...")
-            fwd_durs = device_module_durations(prof_dir, "jit_render_tiled")
-            ts_durs = device_module_durations(prof_dir, "jit_train_step")
-            log(f"[{tag}] device durations: fwd "
-                f"{[round(d*1e3,1) for d in fwd_durs]} ms, train_step "
-                f"{[round(d*1e3,1) for d in ts_durs]} ms")
-            fwd_s = float(np.median(fwd_durs)) if fwd_durs else float("nan")
-            step_s = float(np.median(ts_durs)) if ts_durs else float("nan")
-        else:
-            def host_timed(fn):
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    out = fn()
-                jax.block_until_ready(out)
-                return (time.perf_counter() - t0) / iters
+        def run_step(n):
+            out = step_chain(model, opt_state, dstate, cam, target_tiles,
+                             target_mask, target_chw, n)
+            return host_fetch_scalar(out[0].means[0, 0])
 
-            fwd_s = host_timed(lambda: fwd_fn(model, cam))
-            stt = [model, opt_state, dstate]
-
-            def one_step():
-                r = train_step(stt[0], stt[1], stt[2], cam, target_tiles,
-                               target_mask, target_chw, config, tcfg, tx, 0)
-                stt[0], stt[1], stt[2] = r[0], r[1], r[2]
-                return r[3]["loss"]
-
-            step_s = host_timed(one_step)
-
+        log(f"[{tag}] compiling + warming forward ...")
+        run_fwd(1)
+        log(f"[{tag}] compiling + warming train step (tile L1 + fused SSIM "
+            f"+ Adam) ...")
+        run_step(1)
+        log(f"[{tag}] timing chained iterations ...")
+        f1 = chain_timed(run_fwd, iters)
+        f2 = chain_timed(run_fwd, 2 * iters)
+        fwd_s = max((f2 - f1) / iters, 1e-9)
+        s1 = chain_timed(run_step, iters)
+        s2 = chain_timed(run_step, 2 * iters)
+        step_s = max((s2 - s1) / iters, 1e-9)
+        log(f"[{tag}] raw chain times: fwd {f1:.2f}/{f2:.2f} s, "
+            f"step {s1:.2f}/{s2:.2f} s")
         log(f"[{tag}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
             f"train_step {step_s*1e3:.1f} ms ({mpix/step_s:.1f} Mpix/s)")
         return dict(fwd_s=fwd_s, step_s=step_s)
@@ -217,6 +235,61 @@ def main():
         bound_s = rf.bound(*peak)
         return num_pairs, fwd_s / bound_s
 
+    def parity_gate():
+        """Compiled-Mosaic vs interpret correctness assert ON THE CHIP.
+
+        The JSON line is only ever printed after this passes: a mis-compiled
+        kernel must fail the bench, not publish a fast wrong number. (Same
+        check, at larger scale, lives in tests/test_tpu.py.) Only two scalar
+        diffs are fetched -- direct device->host transfers block on tunneled
+        TPU transports (utils/fetch.host_fetch routes via a CPU-backend jit).
+        """
+        if backend != "tpu":
+            return  # interpret IS the execution mode off-TPU
+        from tests.scenes import small_scene
+        from intro_to_gaussian_splatting_tpu.utils.fetch import (
+            host_fetch_scalar,
+        )
+
+        _, pcam, pmodel = small_scene(n=1000, width=256, height=192, seed=11,
+                                      scale_lo=0.01, scale_hi=0.12)
+        mask_p = tile_pixel_mask(192, 256, config)
+
+        def loss_p(params, interpret):
+            from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+                render_tiles,
+            )
+            tiles = render_tiles(pmodel.replace(**params), pcam, config,
+                                 interpret=interpret)
+            return jnp.sum((tiles[:, :3] * mask_p) ** 2), tiles
+
+        pp = pmodel.params()
+        (lc, tc), gc = jax.jit(jax.value_and_grad(
+            functools.partial(loss_p, interpret=False), has_aux=True))(pp)
+        (li, ti), gi = jax.jit(jax.value_and_grad(
+            functools.partial(loss_p, interpret=True), has_aux=True))(pp)
+
+        @jax.jit
+        def diffs(tc, ti, gc, gi):
+            td = jnp.max(jnp.abs(tc - ti))
+            gd = jnp.array([jnp.max(jnp.abs(gc[k] - gi[k])) /
+                            jnp.maximum(jnp.max(jnp.abs(gi[k])), 1e-3)
+                            for k in gc]).max()
+            return jnp.stack([td, gd, jnp.max(jnp.abs(tc))])
+
+        log("parity gate: fetching compiled-vs-interpret diffs ...")
+        d = diffs(tc, ti, gc, gi)
+        tile_diff = host_fetch_scalar(d[0])
+        grad_rel = host_fetch_scalar(d[1])
+        mag = host_fetch_scalar(d[2])
+        log(f"parity gate: tile maxdiff {tile_diff:.2e}, "
+            f"grad rel maxdiff {grad_rel:.2e}, |out| {mag:.3f}")
+        assert mag > 0.1, "parity gate scene degenerate"
+        assert tile_diff < 1e-4, \
+            f"COMPILED KERNEL MISMATCH: tiles {tile_diff}"
+        assert grad_rel < 1e-3, \
+            f"COMPILED KERNEL MISMATCH: grads {grad_rel}"
+
     # --- workload 1: reference init (tiny splats, near-empty pair stream)
     model_ref = init_from_points(xyz, rgb)
     ref = timed_workloads("ref-init", model_ref)
@@ -224,6 +297,8 @@ def main():
     # --- workload 2: KNN scale init (dense pair stream -- training-like)
     model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
     knn = timed_workloads("knn-init", model_knn)
+
+    parity_gate()
 
     pairs_ref, ratio_ref = roofline_ratio(model_ref, ref["fwd_s"])
     pairs_knn, ratio_knn = roofline_ratio(model_knn, knn["fwd_s"])

@@ -217,7 +217,7 @@ def tile_overlap_mask(px, py, rec, config: RasterizerConfig):
 
 
 @partial(jax.jit, static_argnames=("config", "tile_culling", "exact_break",
-                                   "chunk", "active_sh_degree"))
+                                   "chunk", "active_sh_degree", "return_aux"))
 def render_dense(
     model: GaussianModel,
     camera: Camera,
@@ -226,11 +226,16 @@ def render_dense(
     exact_break: bool = False,
     chunk: int = 256,
     active_sh_degree: Optional[int] = None,
+    return_aux: bool = False,
 ) -> jax.Array:
     """Render (height, width, 3) by compositing all gaussians per pixel.
 
     Functional equivalent of ``GaussianScene.render_image``
     (splat/gaussian_scene.py:200-238) minus the 5-minute Python loops.
+    With ``return_aux=True`` also returns alpha, depth, and the EXACT final
+    transmittance Π(1-αᵢ) over all gaussians (the oracle quantity for the
+    tiled backends' ``1 - alpha`` approximation, which excludes the
+    sub-t_threshold tail).
     """
     proj = project_gaussians(model, camera, config, active_sh_degree)
     rec, order = _sorted_records(proj)
@@ -272,6 +277,13 @@ def render_dense(
         lim_y = ((h - ts - 1) // ts + 1) * ts if h > ts else 0
         xmask = (xs < lim_x) & (ys < lim_y)
         image = image * xmask.reshape(h, w, 1).astype(image.dtype)
+    if return_aux:
+        aux = dict(
+            depth=carry.accum[:, 3].reshape(h, w),
+            alpha=carry.accum[:, 4].reshape(h, w),
+            transmittance=carry.transmittance[:, 0].reshape(h, w),
+        )
+        return image, aux
     return image
 
 

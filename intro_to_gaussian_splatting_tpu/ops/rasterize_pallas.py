@@ -666,8 +666,12 @@ def render_tiled(
         aux = dict(
             depth=full[..., 3],
             alpha=alpha,
-            # accumulated-weight complement; differs from the exact final
-            # transmittance only by the excluded tail (< t_threshold)
+            # API semantics: the accumulated-weight complement 1 - alpha,
+            # NOT the kernel's exact exit transmittance. It differs from
+            # the true final Π(1-αᵢ) by at most the excluded tail mass,
+            # bounded by t_threshold / (1 - alpha_clamp) (see
+            # render_dense(return_aux=True) for the exact oracle quantity;
+            # test_aux_outputs checks the bound).
             transmittance=jax.lax.stop_gradient(1.0 - alpha),
             overflowed=bins.overflowed,
             num_pairs=bins.num_pairs,

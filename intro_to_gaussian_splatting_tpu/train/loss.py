@@ -24,11 +24,13 @@ def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _ssim_kernel1d(window: int, sigma: float):
+    # cached as host numpy, NOT jnp: a jnp array built under an active trace
+    # would cache a tracer and leak it into later jit calls
     import numpy as np
     ax = np.arange(window) - (window - 1) / 2.0
     g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
     g /= g.sum()
-    return jnp.asarray(g, dtype=jnp.float32)
+    return g.astype(np.float32)
 
 
 def _blur_chw(x: jax.Array, window: int, sigma: float) -> jax.Array:
@@ -55,8 +57,13 @@ def _blur_chw(x: jax.Array, window: int, sigma: float) -> jax.Array:
 
 def ssim_chw(pred: jax.Array, target: jax.Array,
              window: int = 11, sigma: float = 1.5,
-             c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jax.Array:
-    """Mean SSIM over channel-major (C, H, W) images in [0, 1]."""
+             c1: float = 0.01 ** 2, c2: float = 0.03 ** 2,
+             reduce: bool = True) -> jax.Array:
+    """Mean SSIM over channel-major (C, H, W) images in [0, 1].
+
+    ``reduce=False`` returns the per-window SSIM map
+    (C, H-window+1, W-window+1) instead -- sharded training weights windows
+    by validity across strip boundaries."""
     mu_x = _blur_chw(pred, window, sigma)
     mu_y = _blur_chw(target, window, sigma)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
@@ -65,7 +72,8 @@ def ssim_chw(pred: jax.Array, target: jax.Array,
     sigma_xy = _blur_chw(pred * target, window, sigma) - mu_xy
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
-    return jnp.mean(num / den)
+    smap = num / den
+    return jnp.mean(smap) if reduce else smap
 
 
 def ssim(pred: jax.Array, target: jax.Array,

@@ -32,9 +32,10 @@ from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
     untile_chw,
 )
 from intro_to_gaussian_splatting_tpu.ops.binning import tile_grid
+from intro_to_gaussian_splatting_tpu.ops.ssim_pallas import fused_ssim
 from intro_to_gaussian_splatting_tpu.train import densify as D
 from intro_to_gaussian_splatting_tpu.train.loss import (
-    psnr, rgb_loss, ssim_chw, tile_l1, tile_psnr,
+    psnr, rgb_loss, tile_l1, tile_psnr,
 )
 
 
@@ -124,7 +125,8 @@ def train_step(
             img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
             loss = ((1.0 - tcfg.ssim_weight) * loss
                     + tcfg.ssim_weight
-                    * (1.0 - ssim_chw(img, target_image)))
+                    * (1.0 - fused_ssim(img, target_image,
+                                        grad_target=False)))
         return loss, (tiles, aux)
 
     (loss, (tiles, aux)), grads = jax.value_and_grad(

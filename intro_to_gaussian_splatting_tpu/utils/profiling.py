@@ -97,7 +97,7 @@ _VPU_FLOPS_PER_PAIR_PIXEL = 45.0
 
 def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
                         num_tiles: int, group_tiles: int = 64,
-                        rec_rows: int = 16, out_channels: int = 8) -> Roofline:
+                        rec_rows: int = 16, out_channels: int = 5) -> Roofline:
     """Analytic cost model for one forward pass of the Pallas rasterizer.
 
     ``num_pairs`` is the total (tile, gaussian) pair count after binning

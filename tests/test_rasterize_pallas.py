@@ -55,9 +55,23 @@ def test_aux_outputs():
     assert not bool(aux["overflowed"])
     alpha = np.asarray(aux["alpha"])
     T = np.asarray(aux["transmittance"])
-    # alpha + T == 1 wherever compositing ran to completion or saturation
-    np.testing.assert_allclose(alpha + T, 1.0, atol=2e-3)
+    np.testing.assert_allclose(alpha + T, 1.0, atol=1e-6)  # by definition
+    # Consistency against the dense oracle's EXACT final transmittance
+    # Π(1-αᵢ): the tiled aux excludes only the sub-t_threshold tail, so
+    # 1 - alpha must upper-bound the exact T within the tail mass bound
+    # t_threshold / (1 - alpha_clamp).
+    _, dense_aux = render_dense(model, cam, CFG, return_aux=True)
+    T_exact = np.asarray(dense_aux["transmittance"])
+    tail_bound = CFG.t_threshold / (1.0 - CFG.alpha_clamp)
+    assert (T - T_exact >= -1e-5).all(), "aux transmittance under-counts"
+    assert (T - T_exact <= tail_bound + 1e-5).all(), \
+        f"excluded tail exceeds bound {tail_bound}"
+    # alpha itself must match the oracle's accumulated weight
+    np.testing.assert_allclose(alpha, np.asarray(dense_aux["alpha"]),
+                               rtol=1e-4, atol=1e-5)
     depth = np.asarray(aux["depth"])
+    np.testing.assert_allclose(depth, np.asarray(dense_aux["depth"]),
+                               rtol=1e-4, atol=1e-5)
     assert (depth >= 0).all()
 
 

@@ -57,7 +57,20 @@ def test_sharded_render_odd_height(mesh):
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
 
 
-def test_sharded_train_step_decreases_loss(mesh):
+@pytest.mark.parametrize("ring", [False, True])
+def test_sharded_render_matches_single_device_ring(mesh, ring):
+    raw, cam, model = _scene(n=96, width=48, height=48, seed=31)
+    single = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    sharded = np.asarray(
+        sharded_render(shard_model(model, mesh), cam, mesh, RCFG,
+                       interpret=True, ring=ring))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_sharded_train_step_decreases_loss(mesh, ring):
+    from intro_to_gaussian_splatting_tpu.train.densify import DensifyState
+
     raw, cam, true_model = _scene(seed=23)
     target = render_tiled(true_model, cam, RCFG, interpret=True)
 
@@ -76,17 +89,22 @@ def test_sharded_train_step_decreases_loss(mesh):
     tcfg = TrainConfig(ssim_weight=0.0)
     tx = make_optimizer(tcfg, scene_extent=1.0)
     opt_state = tx.init(model.params())
+    dstate = DensifyState.zero(model.capacity)
 
     losses = []
     for _ in range(8):
-        model, opt_state, loss = sharded_train_step(
-            model, opt_state, cam, target_padded, mesh, RCFG, tcfg, tx,
-            interpret=True)
-        losses.append(float(loss))
+        model, opt_state, dstate, metrics = sharded_train_step(
+            model, opt_state, dstate, cam, target_padded, mesh, RCFG, tcfg,
+            tx, interpret=True, ring=ring)
+        losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses
+    # the probe accumulated screen-space gradient statistics
+    assert float(jnp.sum(dstate.count)) > 0
+    assert float(jnp.max(dstate.grad_accum)) > 0.0
 
 
-def test_sharded_gradients_match_single_device(mesh):
+@pytest.mark.parametrize("ring", [False, True])
+def test_sharded_gradients_match_single_device(mesh, ring):
     """Gradient parity: sharded loss == single-device loss and grads."""
     raw, cam, model = _scene(n=32, width=32, height=32, seed=29)
     target = render_tiled(model, cam, RCFG, interpret=True) * 0.5
@@ -101,15 +119,43 @@ def test_sharded_gradients_match_single_device(mesh):
     from intro_to_gaussian_splatting_tpu.parallel.sharded import sharded_loss_fn
     smodel = shard_model(model, mesh)
     loss_fn, padded_h = sharded_loss_fn(
-        smodel, cam, mesh, RCFG, 0.0, None, True, cam.height)
+        smodel, cam, mesh, RCFG, 0.0, None, True, cam.height, ring=ring)
     from jax.sharding import NamedSharding, PartitionSpec as PS
     target_padded = jax.device_put(
         pad_rows(target, padded_h), NamedSharding(mesh, PS(("gauss", "tiles"))))
-    l_sharded, gm = jax.value_and_grad(loss_fn)(smodel.params(), target_padded)
+    probe = jnp.zeros((smodel.capacity, 2), jnp.float32)
+    (l_sharded, aux), (gm, gprobe) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(
+        smodel.params(), probe, target_padded)
 
     l_single = float(loss_single(model.params()))
     np.testing.assert_allclose(float(l_sharded), l_single, rtol=1e-5)
     for name in gs:
         np.testing.assert_allclose(
             np.asarray(gm[name]), np.asarray(gs[name]), rtol=2e-3, atol=1e-6,
-            err_msg=f"sharded grad mismatch: {name}")
+            err_msg=f"sharded grad mismatch: {name} (ring={ring})")
+    # probe gradients exist and are finite (densification statistic)
+    assert np.isfinite(np.asarray(gprobe)).all()
+    assert not bool(aux["overflowed"])
+
+
+def test_ring_probe_grads_match_allgather(mesh):
+    """Screen-space probe gradients: ring vs all_gather paths agree."""
+    from intro_to_gaussian_splatting_tpu.parallel.sharded import sharded_loss_fn
+    raw, cam, model = _scene(n=32, width=32, height=32, seed=37)
+    target = render_tiled(model, cam, RCFG, interpret=True) * 0.25
+    smodel = shard_model(model, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    probe = jnp.zeros((smodel.capacity, 2), jnp.float32)
+    out = {}
+    for ring in (False, True):
+        loss_fn, padded_h = sharded_loss_fn(
+            smodel, cam, mesh, RCFG, 0.0, None, True, cam.height, ring=ring)
+        target_padded = jax.device_put(
+            pad_rows(target, padded_h),
+            NamedSharding(mesh, PS(("gauss", "tiles"))))
+        out[ring] = jax.grad(
+            lambda p, pr: loss_fn(p, pr, target_padded)[0],
+            argnums=1)(smodel.params(), probe)
+    np.testing.assert_allclose(np.asarray(out[True]), np.asarray(out[False]),
+                               rtol=2e-3, atol=1e-7)

@@ -1,0 +1,117 @@
+"""Compiled-Mosaic vs interpret parity on REAL TPU hardware.
+
+Every parity test in test_rasterize_pallas.py runs the Pallas kernels with
+``interpret=True``; this module is the missing gate: it executes the
+compiled kernels on the actual chip and asserts pixels AND gradients match
+interpret mode and the dense oracle. The reference's only hardware safety
+check is ``checkAllSameGPU`` (/root/reference/splat/c/render.cu:104-112);
+this is the TPU answer to the SURVEY §5 "race detection / sanitizer" row.
+
+Run with: ``GSTPU_TPU_TESTS=1 python -m pytest tests/test_tpu.py -v``
+(the default CPU test session self-skips these).
+
+All comparisons are computed ON DEVICE and only scalar diffs are fetched
+via utils.fetch.host_fetch -- direct device->host transfers block through
+tunneled TPU transports.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+from intro_to_gaussian_splatting_tpu.ops.compositing import render_dense
+from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+    image_to_tiles,
+    render_tiled,
+    render_tiles,
+    tile_pixel_mask,
+)
+from tests.scenes import small_scene
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-Mosaic parity needs real TPU hardware "
+           "(GSTPU_TPU_TESTS=1 keeps the TPU backend)")
+
+# Multi-chunk, multi-group workload: 512x384 = 32x24 tiles = 12 groups of
+# 64; ~2k gaussians with generous scales produce a dense pair stream many
+# chunks long, so cross-chunk transmittance carry, group overhang lanes,
+# and the double-buffered DMA paths are all exercised compiled.
+CFG = RasterizerConfig()
+W, H, N = 512, 384, 2000
+
+
+@pytest.fixture(scope="module")
+def scene():
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _, cam, model = small_scene(n=N, width=W, height=H, seed=11,
+                                scale_lo=0.01, scale_hi=0.12)
+    return cam, model
+
+
+def _maxabs(x):
+    return jnp.max(jnp.abs(x))
+
+
+def test_compiled_forward_matches_interpret_and_dense(scene):
+    from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
+    cam, model = scene
+    compiled = render_tiles(model, cam, CFG, interpret=False)
+    interp = render_tiles(model, cam, CFG, interpret=True)
+    img_c = render_tiled(model, cam, CFG, interpret=False)
+    dense = render_dense(model, cam, CFG)
+
+    @jax.jit
+    def diffs(compiled, interp, img_c, dense):
+        return dict(
+            ci=_maxabs(compiled - interp),
+            cd=_maxabs(img_c - dense),
+            mag=_maxabs(compiled),
+        )
+
+    d = host_fetch(diffs(compiled, interp, img_c, dense))
+    assert np.isfinite(d["mag"]) and d["mag"] > 0.1, \
+        f"degenerate scene (max |out| = {d['mag']})"
+    assert d["ci"] < 1e-4, f"compiled vs interpret max diff {d['ci']}"
+    assert d["cd"] < 2e-3, f"compiled vs dense oracle max diff {d['cd']}"
+
+
+def test_compiled_backward_matches_interpret(scene):
+    from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
+    cam, model = scene
+    mask = tile_pixel_mask(H, W, CFG)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    target_tiles = jax.jit(
+        image_to_tiles, static_argnames="config")(target, CFG)
+
+    def make_loss(interpret):
+        def loss(params):
+            tiles = render_tiles(model.replace(**params), cam, CFG,
+                                 interpret=interpret)
+            d = (tiles[:, :3] - target_tiles[:, :3]) * mask
+            return jnp.sum(d * d)
+        return loss
+
+    params = model.params()
+    g_c = jax.jit(jax.grad(make_loss(False)))(params)
+    g_i = jax.jit(jax.grad(make_loss(True)))(params)
+
+    @jax.jit
+    def diffs(g_c, g_i):
+        out = {}
+        for k in g_c:
+            out[k] = _maxabs(g_c[k] - g_i[k])
+            out[k + "_mag"] = _maxabs(g_i[k])
+        return out
+
+    d = host_fetch(diffs(g_c, g_i))
+    for k in params:
+        mag = max(float(d[k + "_mag"]), 1e-3)
+        assert float(d[k]) < 1e-3 * mag + 1e-5, \
+            f"grad[{k}]: compiled vs interpret max diff {d[k]} (mag {mag})"
+        assert np.isfinite(d[k + "_mag"]), f"grad[{k}] not finite"
+    # gradients must actually be nonzero for the check to mean anything
+    assert float(d["means_mag"]) > 0.0

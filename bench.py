@@ -208,14 +208,25 @@ def main():
             f"+ Adam) ...")
         run_step(1)
         log(f"[{tag}] timing chained iterations ...")
-        f1 = chain_timed(run_fwd, iters)
-        f2 = chain_timed(run_fwd, 2 * iters)
-        fwd_s = max((f2 - f1) / iters, 1e-9)
-        s1 = chain_timed(run_step, iters)
-        s2 = chain_timed(run_step, 2 * iters)
-        step_s = max((s2 - s1) / iters, 1e-9)
-        log(f"[{tag}] raw chain times: fwd {f1:.2f}/{f2:.2f} s, "
-            f"step {s1:.2f}/{s2:.2f} s")
+
+        def paired(run, what):
+            """(t(2N) - t(N)) / N, retried when host contention makes the
+            pair non-monotone (observed: a concurrent CPU-saturating job
+            produced t(2N) < t(N), which would otherwise print absurd
+            throughput silently)."""
+            for attempt in range(3):
+                t1 = chain_timed(run, iters)
+                t2 = chain_timed(run, 2 * iters)
+                log(f"[{tag}] raw chain times ({what}, try {attempt}): "
+                    f"{t1:.2f}/{t2:.2f} s")
+                if t2 > t1 * 1.2:
+                    return (t2 - t1) / iters
+            raise SystemExit(
+                f"bench timing unstable for {what}: t(2N) !> t(N) after 3 "
+                f"tries -- is another job saturating the host?")
+
+        fwd_s = paired(run_fwd, "fwd")
+        step_s = paired(run_step, "step")
         log(f"[{tag}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
             f"train_step {step_s*1e3:.1f} ms ({mpix/step_s:.1f} Mpix/s)")
         return dict(fwd_s=fwd_s, step_s=step_s)

@@ -23,12 +23,11 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
 
 
 def _resolve_sparse(path: str) -> str:
-    import os
-    for cand in (path, os.path.join(path, "sparse", "0"), os.path.join(path, "sparse")):
-        if os.path.exists(os.path.join(cand, "cameras.bin")) or \
-           os.path.exists(os.path.join(cand, "cameras.txt")):
-            return cand
-    raise SystemExit(f"no COLMAP model found under {path}")
+    from intro_to_gaussian_splatting_tpu.io.dataset import resolve_sparse
+    try:
+        return resolve_sparse(path)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
 
 
 def _load(args):
@@ -115,8 +114,65 @@ def cmd_info(args) -> int:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "multihost", False):
+        from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+            init_multihost,
+        )
+        init_multihost(coordinator=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
     from intro_to_gaussian_splatting_tpu.train.trainer import train_cli
     return train_cli(args)
+
+
+def cmd_eval(args) -> int:
+    """PSNR/SSIM of a trained model on (held-out) scene cameras."""
+    import os
+
+    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+    from intro_to_gaussian_splatting_tpu.io.dataset import load_scene
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import import_ply
+    from intro_to_gaussian_splatting_tpu.train.evaluate import (
+        evaluate, render_views,
+    )
+
+    if not args.ply:
+        raise SystemExit("gstpu eval requires --ply pointing at a trained "
+                         "model (gstpu train writes point_cloud.ply)")
+    model = import_ply(args.ply)
+    scene = load_scene(args.scene, downscale=args.downscale,
+                       min_track=args.min_track)
+    if args.holdout > 0:
+        _, scene = scene.split_holdout(args.holdout)
+    if not scene.cameras:
+        raise SystemExit("no cameras with ground-truth images to evaluate")
+    rcfg = RasterizerConfig(tile_size=args.tile_size)
+    rows = evaluate(model, scene.cameras, scene.targets, rcfg,
+                    names=scene.names)
+    for r in rows:
+        print(f"{r['name']:>24s}  psnr {r['psnr']:6.2f}  "
+              f"ssim {r['ssim']:.4f}")
+    if args.save_renders:
+        os.makedirs(args.save_renders, exist_ok=True)
+        for name, img in zip(scene.names,
+                             render_views(model, scene.cameras, rcfg)):
+            out = os.path.join(args.save_renders,
+                               os.path.splitext(name)[0] + ".ppm")
+            write_ppm(out, img)
+        print(f"wrote {len(scene.cameras)} renders to {args.save_renders}")
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    """Download + extract a Mip-NeRF-360 dataset (ref get_data.sh:1)."""
+    from intro_to_gaussian_splatting_tpu.io.fetch import fetch_dataset
+    try:
+        out = fetch_dataset(args.dataset, args.out_dir,
+                            keep_zip=args.keep_zip)
+    except RuntimeError as e:
+        raise SystemExit(str(e))
+    print(f"extracted {args.dataset} into {out}")
+    return 0
 
 
 def _select_platform(platform: str) -> None:
@@ -167,7 +223,42 @@ def main(argv=None) -> int:
     _add_scene_args(p)
     p.add_argument("--iterations", type=int, default=1000)
     p.add_argument("--out-dir", default="./gstpu_out")
+    p.add_argument("--holdout", type=int, default=0, metavar="N",
+                   help="hold out every Nth view for eval (0 = train on all)")
+    p.add_argument("--ssim-weight", type=float, default=None,
+                   help="override TrainConfig.ssim_weight")
+    p.add_argument("--eval-at-end", action="store_true",
+                   help="print PSNR/SSIM on the holdout (or train) views "
+                        "after training")
+    mh = p.add_argument_group("multi-host (jax.distributed)")
+    mh.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before training "
+                         "(run one process per host)")
+    mh.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (defaults to TPU pod "
+                         "auto-detection)")
+    mh.add_argument("--num-processes", type=int, default=None)
+    mh.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="PSNR/SSIM of a trained model")
+    _add_scene_args(p)
+    p.add_argument("--ply", required=True,
+                   help="trained model (gstpu train writes point_cloud.ply)")
+    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--holdout", type=int, default=0, metavar="N",
+                   help="evaluate only every Nth view (holdout protocol)")
+    p.add_argument("--save-renders", default=None, metavar="DIR",
+                   help="also write each rendered view as PPM")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("fetch", help="download a Mip-NeRF-360 dataset "
+                       "(treehill lives in 360_extra)")
+    p.add_argument("dataset", nargs="?", default="360_extra",
+                   choices=["360_extra", "360"])
+    p.add_argument("--out-dir", default="./data")
+    p.add_argument("--keep-zip", action="store_true")
+    p.set_defaults(fn=cmd_fetch)
 
     args = parser.parse_args(argv)
     import os

@@ -263,37 +263,26 @@ def scene_extent_of(points: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 def train_cli(args) -> int:
-    from intro_to_gaussian_splatting_tpu.cli import _resolve_sparse, write_ppm
-    from intro_to_gaussian_splatting_tpu.io import read_model
-    from intro_to_gaussian_splatting_tpu.models import (
-        camera_from_colmap, init_from_points,
-    )
+    from intro_to_gaussian_splatting_tpu.cli import write_ppm
+    from intro_to_gaussian_splatting_tpu.io.dataset import load_scene
+    from intro_to_gaussian_splatting_tpu.models import init_from_points
     from intro_to_gaussian_splatting_tpu.train.checkpoint import (
         export_ply, save_checkpoint,
     )
 
-    sparse = _resolve_sparse(args.scene)
-    cameras, images, points = read_model(sparse)
-    points = points.filter_by_track_length(args.min_track)
-
-    # ground-truth images: <scene>/images/<name> (downscaled); PIL decodes
-    targets, cams = [], []
-    img_dir = os.path.join(args.scene, "images")
-    from PIL import Image as PILImage
-    for iid in sorted(images.keys()):
-        im = images[iid]
-        path = os.path.join(img_dir, im.name)
-        if not os.path.exists(path):
-            continue
-        pil = PILImage.open(path)
-        cam = camera_from_colmap(cameras[im.camera_id], im, args.downscale)
-        pil = pil.resize((cam.width, cam.height))
-        targets.append(np.asarray(pil, dtype=np.float32)[..., :3] / 255.0)
-        cams.append(cam)
-    if not targets:
-        raise SystemExit(f"no ground-truth images found under {img_dir}")
+    scene = load_scene(args.scene, downscale=args.downscale,
+                       min_track=args.min_track)
+    if not scene.targets:
+        raise SystemExit(
+            f"no ground-truth images found under {args.scene}/images")
+    holdout_every = getattr(args, "holdout", 0) or 0
+    train_scene, holdout_scene = scene.split_holdout(holdout_every)
+    points = scene.points
+    cams, targets = train_scene.cameras, train_scene.targets
 
     tcfg = TrainConfig(iterations=args.iterations)
+    if getattr(args, "ssim_weight", None) is not None:
+        tcfg = dataclasses.replace(tcfg, ssim_weight=args.ssim_weight)
     model = init_from_points(
         points.xyz, points.rgb, sh_degree=tcfg.sh_degree, color_space="sh",
         capacity=int(len(points) * tcfg.capacity_multiplier),
@@ -308,7 +297,8 @@ def train_cli(args) -> int:
               f"psnr {m['psnr']:.2f} active {int(m['num_active'])}")
 
     trainer = Trainer(model=model, cameras=cams, targets=targets,
-                      scene_extent=extent, tcfg=tcfg, on_log=log)
+                      scene_extent=extent, tcfg=tcfg, on_log=log,
+                      log_every=max(1, min(50, args.iterations // 6)))
     trainer.run(args.iterations)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -319,4 +309,15 @@ def train_cli(args) -> int:
                                   active_sh_degree=trainer.active_sh_degree))
     write_ppm(os.path.join(args.out_dir, "render.ppm"), img)
     print(f"saved checkpoint + ply + render to {args.out_dir}")
+
+    if getattr(args, "eval_at_end", False):
+        from intro_to_gaussian_splatting_tpu.train.evaluate import evaluate
+        es = holdout_scene if holdout_scene.cameras else train_scene
+        tag = "holdout" if holdout_scene.cameras else "train"
+        rows = evaluate(trainer.model, es.cameras, es.targets, trainer.rcfg,
+                        active_sh_degree=trainer.active_sh_degree,
+                        names=es.names)
+        for r in rows:
+            print(f"eval[{tag}] {r['name']:>20s}  psnr {r['psnr']:6.2f}  "
+                  f"ssim {r['ssim']:.4f}")
     return 0

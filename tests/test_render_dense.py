@@ -33,6 +33,46 @@ def test_dense_render_matches_reference_cpu(splat, seed, n):
                                rtol=1e-3, atol=2e-3)
 
 
+def test_render_matches_reference_cpu_256(splat):
+    """BASELINE config 1 geometry: a 256x256 crop-scale render with >1k
+    gaussians spanning many tiles, vs the actual reference rasterizer
+    (/root/reference/splat/gaussian_scene.py:200-238). Both the dense
+    MXU renderer AND the tiled Pallas path must match -- tile-boundary,
+    multi-tile-span, and skip-last-tile interactions at realistic scale.
+
+    The reference's per-tile torch loops dominate the runtime (~2.5 min
+    at this size); GSTPU_SLOW_TESTS=1 doubles the gaussian count and
+    splat radii for an even denser sweep (~8 min)."""
+    import os
+
+    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        render_tiled,
+    )
+
+    slow = os.environ.get("GSTPU_SLOW_TESTS") == "1"
+    n, scale_hi = (2000, 0.25) if slow else (1200, 0.15)
+    raw, cam, model = small_scene(n=n, width=256, height=256, seed=42,
+                                  scale_hi=scale_hi)
+    scene = reference_scene(splat, raw)
+    import torch
+    with torch.no_grad():
+        ref_img = scene.render_image(0, tile_size=16).numpy()  # (W, H, 3)
+    ref_img = ref_img.transpose(1, 0, 2)  # ref indexes [x, y] -> (H, W, 3)
+    assert ref_img.max() > 0.05, "degenerate reference render"
+
+    dense = np.asarray(render_dense(model, cam, COMPAT_CPU, exact_break=True))
+    np.testing.assert_allclose(dense, ref_img, rtol=1e-3, atol=2e-3)
+
+    # Pallas tiled path under the same compat flags (alpha clamped < 1 so
+    # the kernel's monotone early-exit equals the reference's permanent
+    # break; see test_exact_break_matches_pointwise_when_clamped)
+    pallas_cfg = RasterizerConfig(
+        compat=CompatConfig.REFERENCE_CPU, t_threshold=1e-6,
+        alpha_clamp=0.9999, pairs_per_gaussian=64)
+    tiled = np.asarray(render_tiled(model, cam, pallas_cfg, interpret=True))
+    np.testing.assert_allclose(tiled, ref_img, rtol=1e-3, atol=2e-3)
+
+
 def test_dense_render_nonempty_and_bounded():
     raw, cam, model = small_scene(n=100, width=48, height=32, seed=5)
     img = np.asarray(render_dense(model, cam, RasterizerConfig()))

@@ -54,6 +54,52 @@ def test_training_improves_psnr():
     assert last["psnr"] > first["psnr"] + 0.5, hist
 
 
+def test_sh_lr_split():
+    """DC SH coefficients step at lr_sh0, rest bands at lr_shN = lr_sh0/20
+    (config.py lr_shN; 3DGS paper trains rest at /20). Adam normalizes the
+    first update to ~sign(g), so the update magnitude IS the effective
+    learning rate."""
+    from intro_to_gaussian_splatting_tpu.train.trainer import make_optimizer
+
+    raw, cam, model = small_scene(n=8, width=16, height=16, seed=12)
+    sh = jnp.concatenate([model.sh, 0.1 * jnp.ones((8, 8, 3))], axis=1)
+    model = model.replace(sh=sh, color_space="sh")
+    tcfg = TrainConfig()
+    assert tcfg.lr_shN != tcfg.lr_sh0
+    tx = make_optimizer(tcfg, scene_extent=1.0)
+    state = tx.init(model.params())
+    grads = jax.tree.map(jnp.ones_like, model.params())
+    updates, _ = tx.update(grads, state, model.params())
+    up = np.asarray(updates["sh"])
+    np.testing.assert_allclose(up[:, 0, :], -tcfg.lr_sh0, rtol=1e-4)
+    np.testing.assert_allclose(up[:, 1:, :], -tcfg.lr_shN, rtol=1e-4)
+
+
+def test_trainer_grows_pair_pool_on_overflow():
+    """Overflow response policy: a pair pool too small for the scene is
+    detected (aux.overflowed), doubled by the Trainer, and a later step
+    runs clean -- geometry drops are a transient, not a steady state."""
+    raw, cam, true_model = small_scene(n=60, width=32, height=32, seed=21,
+                                       scale_lo=0.15, scale_hi=0.5)
+    target = render_tiled(true_model, cam, RCFG, interpret=True)
+    tiny = RasterizerConfig(chunk_size=128, pairs_per_gaussian=1,
+                            group_tiles=2)
+    tcfg = TrainConfig(iterations=8, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0)
+    events = []
+    trainer = Trainer(model=true_model, cameras=[cam], targets=[target],
+                      scene_extent=1.0, rcfg=tiny, tcfg=tcfg, log_every=1,
+                      on_log=lambda m: events.append(m))
+    trainer.run(8)
+    overflow_steps = [m for m in events if m.get("overflowed")]
+    grow_events = [m for m in events if m.get("event") == "pair_pool_grown"]
+    assert overflow_steps, "big splats vs pairs_per_gaussian=1 must overflow"
+    assert grow_events, "Trainer must respond to overflow by growing the pool"
+    assert trainer.rcfg.pairs_per_gaussian > 1
+    assert not events[-1].get("overflowed"), \
+        f"pool still overflowing after growth: {events[-1]}"
+
+
 def test_densify_clone_and_split():
     raw, cam, model = small_scene(n=30, width=32, height=32, seed=3)
     cap = 64

@@ -147,8 +147,9 @@ def main():
         dstate = D.DensifyState.zero(model.capacity)
         return tx, opt_state, dstate
 
-    fwd_fn = functools.partial(render_tiled, config=config,
-                               interpret=interpret)
+    def make_fwd(cfg):
+        return functools.partial(render_tiled, config=cfg,
+                                 interpret=interpret)
 
     # --- timing strategy -----------------------------------------------
     # On TPU, time N data-chained iterations inside one jit (fori_loop
@@ -160,8 +161,10 @@ def main():
     # host wall clocks under-measure).
     from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch_scalar
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def fwd_chain(model, cam, n):
+    @functools.partial(jax.jit, static_argnames=("n", "cfg"))
+    def fwd_chain(model, cam, n, cfg):
+        fwd_fn = make_fwd(cfg)
+
         def body(i, acc):
             m = model.replace(
                 means=model.means + acc * 1e-30)  # data dependency
@@ -173,11 +176,11 @@ def main():
         # targets MUST be explicit arguments: closure-captured device arrays
         # become HLO constants (hundreds of MB -> remote-compile rejects the
         # payload, and device->host fetches of them block on this transport)
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def step_chain(model, opt_state, dstate, cam, tt, tm, tc, n):
+        @functools.partial(jax.jit, static_argnames=("n", "cfg"))
+        def step_chain(model, opt_state, dstate, cam, tt, tm, tc, n, cfg):
             def body(i, carry):
                 m, o, d = carry
-                m, o, d, _ = train_step(m, o, d, cam, tt, tm, tc, config,
+                m, o, d, _ = train_step(m, o, d, cam, tt, tm, tc, cfg,
                                         tcfg, tx, 0)
                 return (m, o, d)
             return jax.lax.fori_loop(0, n, body, (model, opt_state, dstate))
@@ -189,17 +192,50 @@ def main():
         run(n)
         return time.perf_counter() - t0
 
-    def timed_workloads(tag, model):
+    @functools.partial(jax.jit, static_argnames=("n", "cfg", "num_groups"))
+    def kernel_chain(records, group_starts, n, cfg, num_groups):
+        """N data-chained runs of the bare rasterizer kernel (no projection
+        or binning) -- the quantity the roofline models. The int32 add of a
+        dynamic 0 defeats loop-invariant code motion without touching the
+        (possibly multi-GB) record stream."""
+        from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+            rasterize_pairs,
+        )
+
+        def body(i, acc):
+            gs = group_starts.at[0].add(jnp.int32(acc * 1e-30))
+            out = rasterize_pairs(records, gs, num_groups, cfg, interpret)
+            return acc + out[0, 0, 0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def bin_on_device(model, cam, cfg):
+        from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians
+        from intro_to_gaussian_splatting_tpu.ops.projection import (
+            project_gaussians,
+        )
+        proj = project_gaussians(model, cam, cfg)
+        bins = bin_gaussians(proj, cam.width, cam.height, cfg)
+        return bins.pair_records, bins.group_starts
+
+    def timed_workloads(tag, model, cfg):
         """Compile + run fwd and train_step; returns dict of device seconds."""
         tx, opt_state, dstate = setup_train(model)
         step_chain = make_step_chain(tx)
+        ntx, nty = tile_grid(width, height, cfg.tile_size)
+        num_groups = -(-(ntx * nty) // cfg.group_tiles)
+        records, group_starts = bin_on_device(model, cam, cfg)
 
         def run_fwd(n):
-            return host_fetch_scalar(fwd_chain(model, cam, n))
+            return host_fetch_scalar(fwd_chain(model, cam, n, cfg))
+
+        def run_kernel(n):
+            return host_fetch_scalar(
+                kernel_chain(records, group_starts, n, cfg, num_groups))
 
         def run_step(n):
             out = step_chain(model, opt_state, dstate, cam, target_tiles,
-                             target_mask, target_chw, n)
+                             target_mask, target_chw, n, cfg)
             return host_fetch_scalar(out[0].means[0, 0])
 
         log(f"[{tag}] compiling + warming forward ...")
@@ -225,28 +261,29 @@ def main():
                 f"bench timing unstable for {what}: t(2N) !> t(N) after 3 "
                 f"tries -- is another job saturating the host?")
 
+        log(f"[{tag}] compiling + warming bare kernel ...")
+        run_kernel(1)
         fwd_s = paired(run_fwd, "fwd")
+        kernel_s = paired(run_kernel, "kernel")
         step_s = paired(run_step, "step")
         log(f"[{tag}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
+            f"raster kernel {kernel_s*1e3:.1f} ms | "
             f"train_step {step_s*1e3:.1f} ms ({mpix/step_s:.1f} Mpix/s)")
-        return dict(fwd_s=fwd_s, step_s=step_s)
+        return dict(fwd_s=fwd_s, step_s=step_s, kernel_s=kernel_s)
 
-    def roofline_ratio(model, fwd_s):
+    def roofline_ratio(num_pairs, cfg, fwd_s):
         """measured forward ms vs analytic bound on this chip's ceilings."""
-        try:
-            num_pairs = _count_pairs_on_cpu(model, cam, config)
-        except Exception as e:  # never let the roofline sink the bench
-            log(f"roofline pair-count failed: {e!r}")
+        if num_pairs is None:
             return None, None
-        ntx, nty = tile_grid(width, height, config.tile_size)
-        rf = rasterizer_roofline(num_pairs, config.tile_size,
-                                 config.chunk_size, ntx * nty,
-                                 config.group_tiles)
+        ntx, nty = tile_grid(width, height, cfg.tile_size)
+        rf = rasterizer_roofline(num_pairs, cfg.tile_size,
+                                 cfg.chunk_size, ntx * nty,
+                                 cfg.group_tiles,
+                                 accum_precision=cfg.accum_precision)
         peak = TPU_PEAKS.get("v5e")
-        bound_s = rf.bound(*peak)
-        return num_pairs, fwd_s / bound_s
+        return fwd_s / rf.bound(*peak), rf.binding(*peak)
 
-    def parity_gate():
+    def parity_gate(gate_cfg=None):
         """Compiled-Mosaic vs interpret correctness assert ON THE CHIP.
 
         The JSON line is only ever printed after this passes: a mis-compiled
@@ -257,6 +294,7 @@ def main():
         """
         if backend != "tpu":
             return  # interpret IS the execution mode off-TPU
+        gate_cfg = gate_cfg or config
         from tests.scenes import small_scene
         from intro_to_gaussian_splatting_tpu.utils.fetch import (
             host_fetch_scalar,
@@ -264,13 +302,13 @@ def main():
 
         _, pcam, pmodel = small_scene(n=1000, width=256, height=192, seed=11,
                                       scale_lo=0.01, scale_hi=0.12)
-        mask_p = tile_pixel_mask(192, 256, config)
+        mask_p = tile_pixel_mask(192, 256, gate_cfg)
 
         def loss_p(params, interpret):
             from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
                 render_tiles,
             )
-            tiles = render_tiles(pmodel.replace(**params), pcam, config,
+            tiles = render_tiles(pmodel.replace(**params), pcam, gate_cfg,
                                  interpret=interpret)
             return jnp.sum((tiles[:, :3] * mask_p) ** 2), tiles
 
@@ -288,7 +326,9 @@ def main():
                             for k in gc]).max()
             return jnp.stack([td, gd, jnp.max(jnp.abs(tc))])
 
-        log("parity gate: fetching compiled-vs-interpret diffs ...")
+        log(f"parity gate (gt={gate_cfg.group_tiles}, "
+            f"accum={gate_cfg.accum_precision}): fetching "
+            f"compiled-vs-interpret diffs ...")
         d = diffs(tc, ti, gc, gi)
         tile_diff = host_fetch_scalar(d[0])
         grad_rel = host_fetch_scalar(d[1])
@@ -301,22 +341,83 @@ def main():
         assert grad_rel < 1e-3, \
             f"COMPILED KERNEL MISMATCH: grads {grad_rel}"
 
+    def pair_demand(model, tag):
+        try:
+            return _count_pairs_on_cpu(model, cam, config)
+        except Exception as e:  # never let the roofline sink the bench
+            log(f"[{tag}] pair-demand count failed: {e!r}")
+            return None
+
     # --- workload 1: reference init (tiny splats, near-empty pair stream)
     model_ref = init_from_points(xyz, rgb)
-    ref = timed_workloads("ref-init", model_ref)
+    ref = timed_workloads("ref-init", model_ref, config)
 
-    # --- workload 2: KNN scale init (dense pair stream -- training-like)
+    # --- workload 2: KNN scale init (dense pair stream -- training-like).
+    # The pair DEMAND here is ~100x the default pool (fat splats span
+    # hundreds of tiles); size the pool to hold ALL of it so the number is
+    # honest-dense (the default pool would silently drop ~99% of pairs),
+    # and shrink the tile group: the one-hot accumulation matmul cost
+    # scales with group_tiles, which dominates at this density, while the
+    # sequential grid-step overhead (~3 us/group) bounds how small groups
+    # can usefully get (see rasterizer_roofline docstring).
+    import dataclasses as _dc
     model_knn = init_from_points(xyz, rgb, scale_init=None, opacity=0.9)
-    knn = timed_workloads("knn-init", model_knn)
+    pairs_knn = pair_demand(model_knn, "knn-init")
+    config_knn = config
+    if pairs_knn is not None:
+        ppg = -(-int(pairs_knn * 1.05) // n_gauss)
+        config_knn = _dc.replace(config, pairs_per_gaussian=max(ppg, 4),
+                                 group_tiles=16)
+        log(f"[knn-init] {pairs_knn} pairs demanded -> pool sized to "
+            f"pairs_per_gaussian={config_knn.pairs_per_gaussian}, "
+            f"group_tiles=16 (default pool would truncate to "
+            f"{config.pairs_per_gaussian * n_gauss})")
+    knn = timed_workloads("knn-init", model_knn, config_knn)
+
+    def ssim_gate():
+        """Compiled fused-SSIM vs interpret on the chip (value + grad)."""
+        if backend != "tpu":
+            return
+        from intro_to_gaussian_splatting_tpu.ops.ssim_pallas import (
+            fused_ssim,
+        )
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        p = jax.random.uniform(k1, (3, 211, 331), jnp.float32)
+        t = jax.random.uniform(k2, (3, 211, 331), jnp.float32)
+
+        def vg(interp):
+            f = lambda x: fused_ssim(x, t, interpret=interp,
+                                     grad_target=False)
+            return jax.jit(jax.value_and_grad(f))(p)
+
+        vc, gc = vg(False)
+        vi, gi = vg(True)
+        dv = host_fetch_scalar(jnp.abs(vc - vi))
+        dg = host_fetch_scalar(jnp.max(jnp.abs(gc - gi)))
+        log(f"ssim gate: value diff {dv:.2e}, grad maxdiff {dg:.2e}")
+        assert dv < 1e-5, f"COMPILED SSIM MISMATCH: value {dv}"
+        assert dg < 1e-4, f"COMPILED SSIM MISMATCH: grads {dg}"
 
     parity_gate()
+    ssim_gate()
+    if config_knn is not config:
+        # the dense workload ran with (group_tiles=8, accum=high): gate that
+        # kernel variant too before publishing its number
+        parity_gate(_dc.replace(config, group_tiles=config_knn.group_tiles,
+                                accum_precision=config_knn.accum_precision))
 
-    pairs_ref, ratio_ref = roofline_ratio(model_ref, ref["fwd_s"])
-    pairs_knn, ratio_knn = roofline_ratio(model_knn, knn["fwd_s"])
+    pairs_ref = pair_demand(model_ref, "ref-init")
+    ratio_ref, bind_ref = roofline_ratio(pairs_ref, config, ref["kernel_s"])
+    ratio_knn, bind_knn = roofline_ratio(pairs_knn, config_knn,
+                                         knn["kernel_s"])
     if ratio_ref is not None:
-        log(f"roofline: ref-init {pairs_ref} pairs, fwd measured/bound = "
-            f"{ratio_ref:.2f}x; knn-init {pairs_knn} pairs, "
-            f"{ratio_knn:.2f}x (v5e ceilings)")
+        log(f"roofline (bare raster kernel vs analytic bound, v5e): "
+            f"ref-init {pairs_ref} pairs, {ratio_ref:.2f}x "
+            f"({bind_ref}-bound)")
+    if ratio_knn is not None:
+        log(f"roofline: knn-init {pairs_knn} pairs, {ratio_knn:.2f}x "
+            f"({bind_knn}-bound)")
 
     baseline_mpix_s = 6.8  # reference CUDA forward-only (BASELINE.md)
     value = mpix / ref["step_s"]
@@ -333,6 +434,10 @@ def main():
                                    if ratio_ref is not None else None),
         "roofline_fwd_ratio_knn": (round(ratio_knn, 3)
                                    if ratio_knn is not None else None),
+        "knn_pairs": pairs_knn,
+        "knn_pool_pairs_per_gaussian": config_knn.pairs_per_gaussian,
+        "raster_kernel_ms_ref": round(ref["kernel_s"] * 1e3, 3),
+        "raster_kernel_ms_knn": round(knn["kernel_s"] * 1e3, 3),
     }
     print(json.dumps(result))
 

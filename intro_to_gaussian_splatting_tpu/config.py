@@ -97,6 +97,13 @@ class RasterizerConfig:
     pairs_per_gaussian: int = 4
     # Cap on the number of tiles a single gaussian may span per axis.
     max_span: int = 32
+    # MXU precision of the kernels' one-hot accumulation matmuls.
+    # f32 inputs are decomposed into bf16 passes: "highest" = 6 passes
+    # (exact f32), "default" = 1 pass (raw bf16 -- ~4e-3 relative, fails
+    # the 1e-4 parity gates; throughput experiments only). Mosaic does not
+    # lower the intermediate 3-pass HIGH. For dense pair streams, shrink
+    # ``group_tiles`` instead: the matmul cost scales linearly with it.
+    accum_precision: str = "highest"
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def __post_init__(self):
@@ -108,6 +115,7 @@ class RasterizerConfig:
         assert self.group_tiles > 0
         assert self.alpha_clamp <= 0.9999, \
             "alpha must stay < 1 so transmittance is monotone"
+        assert self.accum_precision in ("highest", "default")
 
 
 @dataclasses.dataclass(frozen=True)

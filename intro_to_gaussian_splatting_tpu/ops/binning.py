@@ -134,6 +134,12 @@ def bin_gaussians(
     if max_pairs is None:
         max_pairs = config.pairs_per_gaussian * n
     max_pairs = round_up(max_pairs, config.chunk_size)
+    # One extra chunk of sentinel-keyed slots so the rasterizer's last
+    # 128-lane DMA window never reads out of bounds. Allocating it here
+    # (emission is simply capped below max_pairs) instead of concatenating
+    # after the fact avoids materializing a second copy of the multi-GB
+    # record stream at dense pair counts.
+    mp_alloc = max_pairs + config.chunk_size
 
     # 1. depth sort, invalid last (ref: global z argsort, gaussian_scene.py:117)
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
@@ -187,9 +193,9 @@ def bin_gaussians(
     # (N, 4) matrix: XLA TPU gathers pay per ROW, so four s32[MP] element
     # gathers (~2.7 ms each at treehill scale) collapse into one ~0.6 ms
     # row gather.
-    p = jnp.arange(max_pairs, dtype=jnp.int32)
-    marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets[1:]].add(
-        1, mode="drop")                   # offsets >= MP fall off the end
+    p = jnp.arange(mp_alloc, dtype=jnp.int32)
+    marks = jnp.zeros((mp_alloc,), jnp.int32).at[offsets[1:]].add(
+        1, mode="drop")                   # offsets >= MP_alloc fall off
     rank = jnp.clip(jnp.cumsum(marks), 0, n - 1)                # (MP,) depth rank
     geom = jnp.stack([offsets[:-1], span_x, tx0, ty0], axis=1)  # (N, 4)
     gp = jnp.take(geom, rank, axis=0)                           # (MP, 4)

@@ -64,6 +64,14 @@ OUT_CHANNELS = 5
 # Lane alignment of chunk DMA windows (f32 lane tiling is 128).
 _LANE_ALIGN = 128
 _HI = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,   # 6 bf16 MXU passes (exact f32)
+    "default": jax.lax.Precision.DEFAULT,   # 1 pass (raw bf16)
+}
+
+
+def _accum_precision(config: RasterizerConfig):
+    return _PRECISIONS[config.accum_precision]
 
 
 def _interpret_default() -> bool:
@@ -228,7 +236,8 @@ def _fwd_kernel(gs_ref, rec_hbm, out_ref, rec_vmem, sem,
             ohp = oh * rec[P.PAYLOAD_START + c:P.PAYLOAD_START + c + 1, :]
             out_ref[0, c] = out_ref[0, c] + jax.lax.dot_general(
                 ohp, w, (((1,), (0,)), ((), ())),
-                precision=_HI, preferred_element_type=jnp.float32)
+                precision=_accum_precision(config),
+                preferred_element_type=jnp.float32)
 
         t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
         return (t_incl_full[chunk - 1:chunk, :], seg[chunk - 1:chunk, :])
@@ -350,7 +359,8 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
         oh_t = (cols_gt == tl_sub).astype(jnp.float32)           # (C, GT)
         big = jax.lax.dot_general(
             oh_t, gcat, (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32)   # (C, 6*PIX)
+            precision=_accum_precision(config),
+            preferred_element_type=jnp.float32)                  # (C, 6*PIX)
         gtile = [big[:, c * pix:(c + 1) * pix]
                  for c in range(P.NUM_PAYLOAD)]                  # (C, PIX) x5
         gc = sum(_col(rec_t, P.PAYLOAD_START + c) * gtile[c]
@@ -473,8 +483,13 @@ def rasterize_pairs(records, group_starts, num_groups: int,
                     config: RasterizerConfig, interpret: bool):
     """records (NUM_REC_ROWS, MP) -> (num_groups, OUT_CHANNELS, GT, ts*ts).
 
-    MP must be a multiple of config.chunk_size; one extra sentinel chunk is
-    appended internally so the last chunk's DMA never reads out of bounds.
+    CONTRACT: MP is a multiple of config.chunk_size AND the caller
+    guarantees at least one trailing chunk of sentinel-keyed slots
+    (tile row outside every group's range) beyond group_starts[-1], so the
+    last 128-lane DMA window never reads out of bounds. Both binning paths
+    (ops.binning.bin_gaussians, parallel.sharded._ring_bin_strip) allocate
+    that chunk; padding here instead would materialize a second copy of
+    the record stream (~2 GB at dense treehill pair counts).
     group_starts: (num_groups + 1,) int32 pair offsets of each tile group.
     """
     tile_out, _ = _rasterize_fwd_impl(records, group_starts, num_groups,
@@ -482,23 +497,13 @@ def rasterize_pairs(records, group_starts, num_groups: int,
     return tile_out
 
 
-def _pad_records(records, config: RasterizerConfig):
-    """Append one zeroed chunk whose tile-id row is the sentinel (never
-    matches any group), so overhang DMA lanes are masked out."""
-    chunk = config.chunk_size
-    rp = jnp.pad(records, ((0, 0), (0, chunk)))
-    sentinel = jnp.full((1, chunk), 2.0**24, records.dtype)
-    return jax.lax.dynamic_update_slice(
-        rp, sentinel, (P.REC_TILE, records.shape[1]))
-
-
 def _rasterize_fwd_impl(records, group_starts, num_groups, config, interpret):
     assert records.shape[0] == P.NUM_REC_ROWS
     assert records.shape[1] % config.chunk_size == 0, \
         "MAX_PAIRS must be a multiple of chunk_size (binning guarantees this)"
     assert group_starts.shape == (num_groups + 1,)
-    rp = _pad_records(records, config)
-    tile_out = _fwd_pallas(rp, group_starts, num_groups, config, interpret)
+    tile_out = _fwd_pallas(records, group_starts, num_groups, config,
+                           interpret)
     return tile_out, (records, group_starts, tile_out)
 
 
@@ -509,10 +514,8 @@ def _rasterize_fwd(records, group_starts, num_groups, config, interpret):
 
 def _rasterize_bwd(num_groups, config, interpret, res, g_tile):
     records, group_starts, tile_out = res
-    rp = _pad_records(records, config)
-    drec = _bwd_pallas(rp, group_starts, tile_out, g_tile, num_groups,
+    drec = _bwd_pallas(records, group_starts, tile_out, g_tile, num_groups,
                        config, interpret)
-    drec = drec[:, :records.shape[1]]
     # lanes beyond the last group's range are never written by the kernel:
     # zero them (the gather transpose would otherwise scatter garbage).
     total = group_starts[-1]

@@ -38,7 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 11
 _HALO = WINDOW - 1          # 10
-_BR = 16                    # output rows per band (VMEM-bounded)
+# Output rows per band. Each band re-reads a _TOP-row halo, so larger bands
+# amortize halo traffic (1.25x image reads at 64 vs 2x at 16) and cut the
+# sequential grid step count 4x; 4 double-buffered (3, 96, Wp) band buffers
+# are ~24 MB VMEM at treehill width -- well inside the chip.
+_BR = 64
 # HBM DMA row slices must be 8-aligned on TPU: the image is stored with 16
 # rows of top padding so every band's DMA starts at a multiple of 8 and
 # reads 8-divisible row counts (the 6 extra rows per band are masked).
@@ -98,16 +102,37 @@ def _ssim_terms(X, Y, X2, Y2, XY, c1: float, c2: float):
 
 def _fwd_kernel(xp, yp, out_ref, xv, yv, sem,
                 *, h, w, wp, c1, c2, kern):
+    """Band i's DMAs are started by band i-1 (band 0 starts its own), so
+    each band's moment math overlaps the next band's HBM reads -- the
+    sequential Mosaic grid keeps the revolving scratch slots and their
+    semaphores live across programs."""
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     rows_in = _BR + _TOP
-    cx = pltpu.make_async_copy(
-        xp.at[:, pl.ds(i * _BR + _TOP, rows_in), :], xv, sem.at[0])
-    cy = pltpu.make_async_copy(
-        yp.at[:, pl.ds(i * _BR + _TOP, rows_in), :], yv, sem.at[1])
-    cx.start()
-    cy.start()
-    cx.wait()
-    cy.wait()
+
+    def dmas(band, slot):
+        return (
+            pltpu.make_async_copy(
+                xp.at[:, pl.ds(band * _BR + _TOP, rows_in), :],
+                xv.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                yp.at[:, pl.ds(band * _BR + _TOP, rows_in), :],
+                yv.at[slot], sem.at[slot, 1]),
+        )
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(i, slot):
+            d.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for d in dmas(i + 1, 1 - slot):
+            d.start()
+    for d in dmas(i, slot):
+        d.wait()
 
     rloc = jax.lax.broadcasted_iota(jnp.int32, (_BR, wp), 0)
     cloc = jax.lax.broadcasted_iota(jnp.int32, (_BR, wp), 1)
@@ -116,8 +141,8 @@ def _fwd_kernel(xp, yp, out_ref, xv, yv, sem,
 
     acc = jnp.zeros((), jnp.float32)
     for c in range(3):
-        x = xv[c]
-        y = yv[c]
+        x = xv[slot, c]
+        y = yv[slot, c]
         n1, n2, d1, d2 = _ssim_terms(*_moments(x, y, _BR, kern), c1, c2)
         s = (n1 * n2) / (d1 * d2)
         acc = acc + jnp.sum(s * valid)
@@ -135,16 +160,33 @@ def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
         dy_ref = None
         xv, yv, sem = rest
     j = pl.program_id(0)
+    nb = pl.num_programs(0)
     rows_in = _BR + 2 * _TOP         # local row l = real row j*BR - TOP + l
     tops = rows_in - _HALO           # window-top rows computable in-band
-    cx = pltpu.make_async_copy(
-        xp.at[:, pl.ds(j * _BR, rows_in), :], xv, sem.at[0])
-    cy = pltpu.make_async_copy(
-        yp.at[:, pl.ds(j * _BR, rows_in), :], yv, sem.at[1])
-    cx.start()
-    cy.start()
-    cx.wait()
-    cy.wait()
+
+    def dmas(band, slot):
+        return (
+            pltpu.make_async_copy(
+                xp.at[:, pl.ds(band * _BR, rows_in), :], xv.at[slot],
+                sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                yp.at[:, pl.ds(band * _BR, rows_in), :], yv.at[slot],
+                sem.at[slot, 1]),
+        )
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j == 0)
+    def _():
+        for d in dmas(j, slot):
+            d.start()
+
+    @pl.when(j + 1 < nb)
+    def _():
+        for d in dmas(j + 1, 1 - slot):
+            d.start()
+    for d in dmas(j, slot):
+        d.wait()
     g = g_ref[0, 0]
 
     # validity of window tops: real top = j*BR - TOP + lt for local lt
@@ -162,8 +204,8 @@ def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
     adj0 = _TOP - _HALO
 
     for c in range(3):
-        x = xv[c]
-        y = yv[c]
+        x = xv[slot, c]
+        y = yv[slot, c]
         X, Y, X2, Y2, XY = _moments(x, y, tops, kern)
         n1, n2, d1, d2 = _ssim_terms(X, Y, X2, Y2, XY, c1, c2)
         inv = 1.0 / (d1 * d2)
@@ -243,9 +285,9 @@ def _fused_ssim_fwd(pred, target, c1, c2, interpret, grad_target=True):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb_f, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, rows_in, wp), jnp.float32),
-            pltpu.VMEM((3, rows_in, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -280,9 +322,9 @@ def _fused_ssim_bwd(c1, c2, interpret, grad_target, res, g):
         out_specs=(blk, blk) if grad_target else (blk,),
         out_shape=(shp, shp) if grad_target else (shp,),
         scratch_shapes=[
-            pltpu.VMEM((3, rows_in, wp), jnp.float32),
-            pltpu.VMEM((3, rows_in, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -129,6 +129,9 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     num_groups = -(-num_tiles // gt)
     sentinel = float(num_groups * gt)
     mp = max_pairs_local
+    # +1 sentinel-keyed chunk: the rasterize_pairs contract (its last DMA
+    # window may overhang the true pair range; see rasterize_pallas)
+    mp_alloc = mp + rcfg.chunk_size
     g_size = jax.lax.axis_size(GAUSS_AXIS)
     row0 = (_strip_index() * strip_rows).astype(jnp.float32)
     ty_lo = (_strip_index() * nty_local).astype(jnp.int32)
@@ -138,9 +141,9 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     ns = rec0.shape[1]
     perm = [(i, (i + 1) % g_size) for i in range(g_size)]
 
-    buf_rec = jnp.zeros((mp, P.NUM_REC_ROWS), jnp.float32)
-    buf_key = jnp.full((mp,), sentinel, jnp.float32)
-    p_iota = jnp.arange(mp, dtype=jnp.int32)
+    buf_rec = jnp.zeros((mp_alloc, P.NUM_REC_ROWS), jnp.float32)
+    buf_key = jnp.full((mp_alloc,), sentinel, jnp.float32)
+    p_iota = jnp.arange(mp_alloc, dtype=jnp.int32)
 
     def step(carry, _):
         rec, valid, base, total, buf_rec, buf_key = carry
@@ -173,7 +176,7 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
         emit_total = jnp.max(jnp.where(full, offsets[1:], 0))
 
         # ragged expand (same marks trick as bin_gaussians step 4)
-        marks = jnp.zeros((mp,), jnp.int32).at[offsets[1:]].add(
+        marks = jnp.zeros((mp_alloc,), jnp.int32).at[offsets[1:]].add(
             1, mode="drop")
         rank = jnp.clip(jnp.cumsum(marks), 0, ns - 1)
         geom = jnp.stack([offsets[:-1], span_x, tx0, ty0], axis=1)
@@ -184,7 +187,7 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
         tile_id = ((gp[:, 3] + dy) * ntx + (gp[:, 2] + dx)).astype(
             jnp.float32)
         emitted = p_iota < emit_total
-        slot = jnp.where(emitted, base + p_iota, mp)     # mp -> dropped
+        slot = jnp.where(emitted, base + p_iota, mp_alloc)   # OOB -> dropped
         pair_rows = jnp.take(rec.T, rank, axis=0)        # (MP, 16), diff'able
         buf_rec = buf_rec.at[slot].set(pair_rows, mode="drop")
         buf_key = buf_key.at[slot].set(tile_id, mode="drop")

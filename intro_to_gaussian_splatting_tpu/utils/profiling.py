@@ -78,14 +78,40 @@ def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 2,
 
 @dataclasses.dataclass
 class Roofline:
-    flops: float            # total f32 FLOPs in the compositing pass
-    hbm_bytes: float        # records streamed + tile outputs written
-    mxu_flops: float        # portion running on the MXU (matmuls)
+    """Per-ceiling cost of one rasterizer pass.
+
+    ``mxu_flops`` are MATHEMATICAL flops (2MKN); the f32 one-hot matmuls
+    decompose into ``mxu_passes`` bf16 MXU passes (6 for HIGHEST, 3 HIGH,
+    1 DEFAULT), so their time is flops * passes / bf16_peak. ``vpu_flops``
+    run on the (8, 128) vector unit. The binding ceiling is whichever of
+    MXU / VPU / HBM takes longest -- they overlap in the kernel.
+    """
+
+    vpu_flops: float
+    mxu_flops: float
+    mxu_passes: float
+    hbm_bytes: float
     pixels: float
 
-    def bound(self, peak_flops: float, peak_bw: float) -> float:
-        """Lower-bound kernel time (s) on a chip with the given ceilings."""
-        return max(self.flops / peak_flops, self.hbm_bytes / peak_bw)
+    def bound(self, peak_bf16: float, peak_bw: float,
+              peak_vpu: Optional[float] = None) -> float:
+        """Lower-bound kernel time (s) on a chip with the given ceilings.
+        ``peak_vpu`` defaults to bf16_peak / 50 (the rough MXU:VPU flop
+        ratio on recent TPUs -- see TPU_PEAKS for per-chip values)."""
+        if peak_vpu is None:
+            peak_vpu = peak_bf16 / 50.0
+        return max(self.mxu_flops * self.mxu_passes / peak_bf16,
+                   self.vpu_flops / peak_vpu,
+                   self.hbm_bytes / peak_bw)
+
+    def binding(self, peak_bf16: float, peak_bw: float,
+                peak_vpu: Optional[float] = None) -> str:
+        if peak_vpu is None:
+            peak_vpu = peak_bf16 / 50.0
+        t = {"mxu": self.mxu_flops * self.mxu_passes / peak_bf16,
+             "vpu": self.vpu_flops / peak_vpu,
+             "hbm": self.hbm_bytes / peak_bw}
+        return max(t, key=t.get)
 
 
 # Per (pixel, gaussian-pair-slot) VPU cost of one forward chunk step in the
@@ -94,29 +120,36 @@ class Roofline:
 # weight ~6.
 _VPU_FLOPS_PER_PAIR_PIXEL = 45.0
 
+_PRECISION_PASSES = {"highest": 6.0, "default": 1.0}
+
 
 def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,
                         num_tiles: int, group_tiles: int = 64,
-                        rec_rows: int = 16, out_channels: int = 5) -> Roofline:
+                        rec_rows: int = 16, out_channels: int = 5,
+                        accum_precision: str = "highest") -> Roofline:
     """Analytic cost model for one forward pass of the Pallas rasterizer.
 
     ``num_pairs`` is the total (tile, gaussian) pair count after binning
-    (bins.num_pairs). The stream is consumed in chunk_size-lane windows per
-    tile GROUP, so account at chunk granularity with one average partial
-    chunk per group. Per-tile accumulation is a one-hot MXU matmul per
-    payload channel: (group_tiles, chunk) @ (chunk, pix) at fp32-HIGHEST
-    (~6 MXU passes).
+    (bins.num_pairs) -- pass the DEMANDED count, pool-capacity clipping is
+    the caller's concern. The stream is consumed in chunk_size-lane windows
+    per tile GROUP, so account at chunk granularity with one average
+    partial chunk per group. Per-tile accumulation is a one-hot MXU matmul
+    per payload channel, (group_tiles, chunk) @ (chunk, pix): its cost
+    scales LINEARLY with group_tiles and with the precision pass count, so
+    dense pair streams want small groups / HIGH precision and sparse
+    streams want large groups (fewer sequential grid steps).
     """
     pix = tile_size * tile_size
     num_groups = np.ceil(num_tiles / group_tiles)
     chunks = np.ceil(num_pairs / chunk_size) + num_groups
     pair_slots = chunks * chunk_size
     vpu = pair_slots * pix * _VPU_FLOPS_PER_PAIR_PIXEL
-    mxu = chunks * 5 * 6 * (2.0 * group_tiles * chunk_size * pix)
+    mxu = chunks * 5 * (2.0 * group_tiles * chunk_size * pix)
     hbm = pair_slots * rec_rows * 4 + num_groups * group_tiles * pix * \
         out_channels * 4
-    return Roofline(flops=vpu + mxu, hbm_bytes=hbm, mxu_flops=mxu,
-                    pixels=num_tiles * pix)
+    return Roofline(vpu_flops=vpu, mxu_flops=mxu,
+                    mxu_passes=_PRECISION_PASSES[accum_precision],
+                    hbm_bytes=hbm, pixels=num_tiles * pix)
 
 
 def _load_trace_events(log_dir: str):
@@ -194,10 +227,12 @@ def profile_device_time(fn, *args, iters: int = 5, warmup: int = 1,
 
 
 # Public per-chip ceilings (from published TPU specs) for convenience.
+# VPU peaks are approximate (lane count x ALUs x clock, ~bf16_peak/50);
+# published spec sheets only state MXU flops and HBM bandwidth.
 TPU_PEAKS = {
-    # name: (peak f32-equivalent MXU FLOP/s, HBM bytes/s)
-    "v4": (137e12, 1.2e12),
-    "v5e": (98e12, 0.82e12),
-    "v5p": (229e12, 2.77e12),
-    "v6e": (459e12, 1.64e12),
+    # name: (peak bf16 MXU FLOP/s, HBM bytes/s, approx VPU FLOP/s)
+    "v4": (275e12, 1.2e12, 5.5e12),
+    "v5e": (197e12, 0.82e12, 4e12),
+    "v5p": (459e12, 2.77e12, 9e12),
+    "v6e": (918e12, 1.64e12, 18e12),
 }

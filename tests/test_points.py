@@ -74,6 +74,14 @@ def test_benchmark_helper():
 
     r = rasterizer_roofline(num_pairs=100_000, tile_size=16, chunk_size=128,
                             num_tiles=330)
-    assert r.flops > 0 and r.hbm_bytes > 0 and r.mxu_flops <= r.flops
-    peak_f, peak_b = TPU_PEAKS["v5e"]
-    assert r.bound(peak_f, peak_b) > 0
+    assert r.vpu_flops > 0 and r.hbm_bytes > 0 and r.mxu_flops > 0
+    peak_f, peak_b, peak_v = TPU_PEAKS["v5e"]
+    assert r.bound(peak_f, peak_b, peak_v) > 0
+    assert r.binding(peak_f, peak_b, peak_v) in ("mxu", "vpu", "hbm")
+    # precision passes scale the MXU term: HIGH must never bound above
+    # HIGHEST
+    r_high = rasterizer_roofline(num_pairs=100_000, tile_size=16,
+                                 chunk_size=128, num_tiles=330,
+                                 accum_precision="default")
+    assert r_high.bound(peak_f, peak_b, peak_v) <= \
+        r.bound(peak_f, peak_b, peak_v)

@@ -40,6 +40,9 @@ pytestmark = pytest.mark.skipif(
 # chunks long, so cross-chunk transmittance carry, group overhang lanes,
 # and the double-buffered DMA paths are all exercised compiled.
 CFG = RasterizerConfig()
+# The dense-workload variant bench.py publishes numbers for: small tile
+# groups (one-hot matmul cost scales with group_tiles); same tolerances.
+CFG_DENSE = RasterizerConfig(group_tiles=16)
 W, H, N = 512, 384, 2000
 
 
@@ -56,9 +59,12 @@ def _maxabs(x):
     return jnp.max(jnp.abs(x))
 
 
-def test_compiled_forward_matches_interpret_and_dense(scene):
+@pytest.mark.parametrize("cfg", [CFG, CFG_DENSE],
+                         ids=["default", "gt16"])
+def test_compiled_forward_matches_interpret_and_dense(scene, cfg):
     from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
     cam, model = scene
+    CFG = cfg
     compiled = render_tiles(model, cam, CFG, interpret=False)
     interp = render_tiles(model, cam, CFG, interpret=True)
     img_c = render_tiled(model, cam, CFG, interpret=False)
@@ -79,9 +85,43 @@ def test_compiled_forward_matches_interpret_and_dense(scene):
     assert d["cd"] < 2e-3, f"compiled vs dense oracle max diff {d['cd']}"
 
 
-def test_compiled_backward_matches_interpret(scene):
+def test_compiled_ssim_matches_interpret(scene):
+    """Fused SSIM kernel (banded, double-buffered DMA) compiled vs
+    interpret, values AND gradients, at a non-multiple-of-band height."""
+    from intro_to_gaussian_splatting_tpu.ops.ssim_pallas import fused_ssim
+    from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    pred = jax.random.uniform(k1, (3, 403, 517), jnp.float32)
+    target = jax.random.uniform(k2, (3, 403, 517), jnp.float32)
+
+    def val_and_grad(interpret):
+        f = lambda p: fused_ssim(p, target, interpret=interpret,
+                                 grad_target=False)
+        return jax.jit(jax.value_and_grad(f))(pred)
+
+    vc, gc = val_and_grad(False)
+    vi, gi = val_and_grad(True)
+
+    @jax.jit
+    def diffs(vc, vi, gc, gi):
+        return dict(v=jnp.abs(vc - vi), g=_maxabs(gc - gi),
+                    gmag=_maxabs(gi), vmag=jnp.abs(vi))
+
+    d = host_fetch(diffs(vc, vi, gc, gi))
+    assert float(d["vmag"]) > 1e-3, "degenerate SSIM value"
+    assert float(d["v"]) < 1e-5, f"SSIM value compiled vs interpret {d['v']}"
+    assert float(d["g"]) < 1e-5 * max(float(d["gmag"]), 1e-3), \
+        f"SSIM grad compiled vs interpret {d['g']}"
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_DENSE],
+                         ids=["default", "gt16"])
+def test_compiled_backward_matches_interpret(scene, cfg):
     from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
     cam, model = scene
+    CFG = cfg
     mask = tile_pixel_mask(H, W, CFG)
     target = jnp.zeros((H, W, 3), jnp.float32)
     target_tiles = jax.jit(

@@ -120,6 +120,87 @@ def _gather_pairs_bwd(res, g):
 _gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Large-pool gather: feature-major end to end.
+#
+# A pair-major (MP, 16) f32 array tiles as T(8, 128) on TPU: the 16-wide
+# minor dim pads to 128 lanes, an 8x memory expansion that OOMs the chip at
+# honest dense pair counts (observed: 30.6M pairs -> 14.6 GB padded temp on
+# a 16 GB v5e). Above _FM_PAIR_THRESHOLD the pipeline therefore never
+# materializes a pair-major intermediate:
+#   * forward: the row gather runs in fixed-size slabs inside a fori_loop,
+#     transposing each (SLAB, 16) slab into a dense (16, MP) output in
+#     place -- peak extra memory is one ~1 GB padded slab;
+#   * backward: the emission-order permutation of the cotangent is ONE
+#     stable 17-operand sort keyed by the pair's depth rank. Within a
+#     gaussian, emission order (k = dy*span_x + dx ascending) is exactly
+#     tile-id ascending, which is the order the tile sort left its pairs
+#     in -- so a stable sort by rank reproduces emission order exactly,
+#     operating on dense 1-D operands only. The two-level cumsum-difference
+#     reduction then runs feature-major.
+# ---------------------------------------------------------------------------
+
+_FM_PAIR_THRESHOLD = 1 << 22     # pairs; above this the padded temp > 2 GB
+_FM_SLAB = 1 << 21               # pairs per forward gather slab (~1 GB padded)
+
+
+@jax.custom_vjp
+def _gather_pairs_fm(records_rank, sorted_rank, lo, hi):
+    """records_rank (N, F) -> (F, MP) in sorted pair order (see above)."""
+    del lo, hi
+    return _take_rows_feature_major(records_rank, sorted_rank)
+
+
+def _take_rows_feature_major(src, idx):
+    mp = idx.shape[0]
+    f = src.shape[1]
+    slabs = -(-mp // _FM_SLAB)
+    mp_pad = slabs * _FM_SLAB
+    idx_p = jnp.pad(idx, (0, mp_pad - mp))
+    out = jnp.zeros((f, mp_pad), src.dtype)
+
+    def body(s, out):
+        sl = jax.lax.dynamic_slice(idx_p, (s * _FM_SLAB,), (_FM_SLAB,))
+        rows = jnp.take(src, sl, axis=0)          # (SLAB, F): bounded temp
+        return jax.lax.dynamic_update_slice(out, rows.T, (0, s * _FM_SLAB))
+
+    out = jax.lax.fori_loop(0, slabs, body, out)
+    return out[:, :mp] if mp_pad != mp else out
+
+
+def _gather_pairs_fm_fwd(records_rank, sorted_rank, lo, hi):
+    return _gather_pairs_fm(records_rank, sorted_rank, lo, hi), \
+        (sorted_rank, lo, hi)
+
+
+def _gather_pairs_fm_bwd(res, g):
+    sorted_rank, lo, hi = res
+    f, mp = g.shape
+    # emission order via ONE stable sort (dense 1-D operands only)
+    ops = (sorted_rank,) + tuple(g[c] for c in range(f))
+    g_em = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)[1:]
+    g_em = jnp.stack(g_em, axis=0)                           # (F, MP)
+    b = _CUM_BLOCK
+    nb = -(-mp // b)
+    gp = jnp.pad(g_em, ((0, 0), (0, (nb + 1) * b - mp)))
+    fine = jnp.cumsum(gp.reshape(f, nb + 1, b), axis=2)
+    totals = fine[:, :, -1]                                  # (F, NB+1)
+    coarse = jnp.cumsum(totals, axis=1) - totals             # exclusive
+    fine_ex = jnp.concatenate(
+        [jnp.zeros((f, nb + 1, 1), g.dtype), fine[:, :, :-1]], axis=2)
+    fine_flat = fine_ex.reshape(f, (nb + 1) * b)
+
+    chi = jnp.take(coarse, hi // b, axis=1)
+    clo = jnp.take(coarse, lo // b, axis=1)
+    fhi = jnp.take(fine_flat, hi, axis=1)
+    flo = jnp.take(fine_flat, lo, axis=1)
+    d_records = ((chi - clo) + (fhi - flo)).T                # (N, F)
+    return d_records, None, None, None
+
+
+_gather_pairs_fm.defvjp(_gather_pairs_fm_fwd, _gather_pairs_fm_bwd)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -252,23 +333,35 @@ def bin_gaussians(
     records_rank = jnp.take(pack_records(proj).T, order, axis=0)  # (N, 16)
     lo = jnp.minimum(offsets[:-1], total_emit).astype(jnp.int32)
     hi = jnp.minimum(offsets[1:], total_emit).astype(jnp.int32)
-    pr = _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi)
-    # Localization as one fused elementwise pass over (MP, 16) -- column
-    # row-vectors select which features shift by the tile origin / take the
-    # tile id -- followed by a single dense (MP, 16) -> (16, MP) transpose.
-    # (A per-column stack reads strided columns: measured ~4 ms; this ~1 ms.)
+    # Localization selectors: which features shift by the tile origin /
+    # take the tile id.
     tile_f = sorted_keys.astype(jnp.float32)
     sx = jnp.where(pair_valid, (sorted_keys % ntx) * ts, 0).astype(jnp.float32)
     sy = jnp.where(pair_valid, (sorted_keys // ntx) * ts, 0).astype(jnp.float32)
     col = np.arange(P.NUM_REC_ROWS)
     is_x = jnp.asarray(np.isin(col, [P.REC_MEAN_X, P.REC_MIN_X, P.REC_MAX_X]),
-                       jnp.float32)[None, :]
+                       jnp.float32)
     is_y = jnp.asarray(np.isin(col, [P.REC_MEAN_Y, P.REC_MIN_Y, P.REC_MAX_Y]),
-                       jnp.float32)[None, :]
-    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)[None, :]
-    pr = (pr * (1.0 - is_tile) - sx[:, None] * is_x - sy[:, None] * is_y
-          + tile_f[:, None] * is_tile)
-    pair_records = pr.T                                         # (16, MP)
+                       jnp.float32)
+    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)
+    if mp_alloc > _FM_PAIR_THRESHOLD:
+        # large pools: feature-major end to end -- a pair-major (MP, 16)
+        # intermediate would 8x-pad to multiple chip memories (see
+        # _gather_pairs_fm)
+        pr_fm = _gather_pairs_fm(records_rank, sorted_rank, lo, hi)
+        pair_records = (pr_fm * (1.0 - is_tile)[:, None]
+                        - is_x[:, None] * sx[None, :]
+                        - is_y[:, None] * sy[None, :]
+                        + is_tile[:, None] * tile_f[None, :])   # (16, MP)
+    else:
+        # Localization as one fused elementwise pass over (MP, 16) followed
+        # by a single dense (MP, 16) -> (16, MP) transpose. (A per-column
+        # stack reads strided columns: measured ~4 ms; this ~1 ms.)
+        pr = _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi)
+        pr = (pr * (1.0 - is_tile)[None, :] - sx[:, None] * is_x[None, :]
+              - sy[:, None] * is_y[None, :]
+              + tile_f[:, None] * is_tile[None, :])
+        pair_records = pr.T                                     # (16, MP)
 
     # group ranges: tiles are contiguous in the sorted pair stream, so a
     # group of GT consecutive tiles is one contiguous pair range, found by

@@ -149,9 +149,34 @@ def train_step(
     return new_model, opt_state, dstate, metrics
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("tcfg", "scene_extent", "max_new"))
+def _densify_jit(model, dstate, key, tcfg, scene_extent, max_new):
+    return D.densify(model, dstate, key, tcfg, scene_extent, max_new)
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "scene_extent"))
+def _prune_jit(model, tcfg, scene_extent):
+    return D.prune(model, tcfg, scene_extent)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _zero_slots_jit(tree, slots, capacity):
+    return D.zero_slots(tree, slots, capacity)
+
+
 @dataclasses.dataclass
 class Trainer:
-    """Drives the loop; holds host-side state (step counter, RNG)."""
+    """Drives the loop; holds host-side state (step counter, RNG).
+
+    With ``mesh`` set, every step runs ``parallel.sharded.sharded_train_step``
+    over the gauss x tiles device mesh (gaussians sharded, tile strips
+    sharded, ppermute ring streaming) -- including in multi-process
+    (multi-host) runs, where the mesh spans every process's devices and the
+    model/optimizer/targets are globally sharded arrays. Densify/prune run
+    under jit on the sharded arrays. The single-device tile-space fast path
+    is unchanged when ``mesh`` is None.
+    """
 
     model: GaussianModel
     cameras: list            # list[Camera]
@@ -161,16 +186,87 @@ class Trainer:
     tcfg: TrainConfig = TrainConfig()
     log_every: int = 50
     on_log: Optional[Callable] = None
+    mesh: Optional[object] = None      # jax.sharding.Mesh
+    ring: bool = True
 
     def __post_init__(self):
         self.tx = make_optimizer(self.tcfg, self.scene_extent)
-        self.opt_state = self.tx.init(self.model.params())
-        self.dstate = D.DensifyState.zero(self.model.capacity)
+        if self.mesh is not None:
+            self._setup_sharded()
+        self.opt_state = jax.jit(self.tx.init)(self.model.params())
+        self.dstate = self._dstate_zero()
         self.key = jax.random.PRNGKey(self.tcfg.seed)
         self.step = 0
         self.history = []
         self._tiled = {}     # cam_idx -> (target_tiles, target_image|None)
         self._masks = {}     # (H, W) -> tile_pixel_mask
+
+    # ---- sharded-mode plumbing -----------------------------------------
+    def _setup_sharded(self):
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from intro_to_gaussian_splatting_tpu.parallel.mesh import GAUSS_AXIS
+        from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+            put_global_tree,
+        )
+        g = self.mesh.shape[GAUSS_AXIS]
+        assert self.model.capacity % g == 0, \
+            f"capacity {self.model.capacity} not divisible by gauss axis {g}"
+        if jax.process_count() > 1:
+            self.model = put_global_tree(self.model, self.mesh,
+                                         PS(GAUSS_AXIS))
+            self.cameras = [put_global_tree(c, self.mesh, PS())
+                            for c in self.cameras]
+        else:
+            self.model = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, PS(GAUSS_AXIS))), self.model)
+
+    def _dstate_zero(self):
+        z = D.DensifyState.zero(self.model.capacity)
+        if self.mesh is None:
+            return z
+        from jax.sharding import PartitionSpec as PS
+        from intro_to_gaussian_splatting_tpu.parallel.mesh import GAUSS_AXIS
+        from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+            put_global_tree,
+        )
+        return put_global_tree(z, self.mesh, PS(GAUSS_AXIS))
+
+    def _sharded_target_for(self, cam_idx: int):
+        """(padded_H, W, 3) target with PS((gauss, tiles)) row sharding;
+        multi-process hosts contribute only their own strip rows."""
+        if cam_idx in self._tiled:
+            return self._tiled[cam_idx]
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from intro_to_gaussian_splatting_tpu.parallel.mesh import (
+            GAUSS_AXIS, TILE_AXIS,
+        )
+        from intro_to_gaussian_splatting_tpu.parallel.sharded import (
+            strip_layout,
+        )
+        cam = self.cameras[cam_idx]
+        height = int(cam.height)    # static pytree metadata (camera.py)
+        n_strips = (self.mesh.shape[GAUSS_AXIS]
+                    * self.mesh.shape[TILE_AXIS])
+        _, padded_h = strip_layout(height, self.rcfg.tile_size, n_strips)
+        target = np.asarray(self.targets[cam_idx], np.float32)
+        pad = np.zeros((padded_h,) + target.shape[1:], np.float32)
+        pad[:target.shape[0]] = target
+        if jax.process_count() > 1:
+            from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+                globalize_target, process_local_rows,
+            )
+            row0, rows = process_local_rows(height, self.rcfg.tile_size,
+                                            self.mesh)
+            out = globalize_target(pad[row0:row0 + rows], padded_h,
+                                   self.mesh)
+        else:
+            out = jax.device_put(
+                pad, NamedSharding(self.mesh, PS((GAUSS_AXIS, TILE_AXIS))))
+        self._tiled[cam_idx] = out
+        return out
 
     def _target_for(self, cam_idx: int):
         """Pre-tiled target + pixel mask for one camera, computed once."""
@@ -203,12 +299,25 @@ class Trainer:
         t0 = time.time()
         for it in range(iterations):
             cam_idx = int(order[it])
-            target_tiles, target_mask, target_image = self._target_for(cam_idx)
-            self.model, self.opt_state, self.dstate, metrics = train_step(
-                self.model, self.opt_state, self.dstate,
-                self.cameras[cam_idx], target_tiles, target_mask,
-                target_image,
-                self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
+            if self.mesh is not None:
+                from intro_to_gaussian_splatting_tpu.parallel.sharded import (
+                    sharded_train_step,
+                )
+                target_padded = self._sharded_target_for(cam_idx)
+                self.model, self.opt_state, self.dstate, metrics = \
+                    sharded_train_step(
+                        self.model, self.opt_state, self.dstate,
+                        self.cameras[cam_idx], target_padded, self.mesh,
+                        self.rcfg, self.tcfg, self.tx,
+                        self.active_sh_degree, ring=self.ring)
+            else:
+                target_tiles, target_mask, target_image = \
+                    self._target_for(cam_idx)
+                self.model, self.opt_state, self.dstate, metrics = train_step(
+                    self.model, self.opt_state, self.dstate,
+                    self.cameras[cam_idx], target_tiles, target_mask,
+                    target_image,
+                    self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
             self.step += 1
             self._maybe_densify()
             if self.step % self.log_every == 0 or it == iterations - 1:
@@ -240,15 +349,18 @@ class Trainer:
                 self.step % t.densify_interval == 0:
             self.key, sub = jax.random.split(self.key)
             max_new = max(self.model.capacity // 8, 1)
-            self.model, new_slots = D.densify(
+            # under jit so the ops run SPMD on globally-sharded arrays in
+            # mesh/multi-process mode (eager ops on non-addressable arrays
+            # are rejected by JAX); identical math single-device
+            self.model, new_slots = _densify_jit(
                 self.model, self.dstate, sub, t, self.scene_extent, max_new)
-            self.model = D.prune(self.model, t, self.scene_extent)
-            self.opt_state = D.zero_slots(
+            self.model = _prune_jit(self.model, t, self.scene_extent)
+            self.opt_state = _zero_slots_jit(
                 self.opt_state, new_slots, self.model.capacity)
-            self.dstate = D.DensifyState.zero(self.model.capacity)
+            self.dstate = self._dstate_zero()
         if t.opacity_reset_interval and \
                 self.step % t.opacity_reset_interval == 0 and self.step > 0:
-            self.model = D.reset_opacity(self.model)
+            self.model = jax.jit(D.reset_opacity)(self.model)
 
 
 def scene_extent_of(points: np.ndarray) -> float:
@@ -283,10 +395,26 @@ def train_cli(args) -> int:
     tcfg = TrainConfig(iterations=args.iterations)
     if getattr(args, "ssim_weight", None) is not None:
         tcfg = dataclasses.replace(tcfg, ssim_weight=args.ssim_weight)
+
+    # --multihost: train the SHARDED step over the global mesh spanning all
+    # processes' devices (gauss x tiles, ppermute ring); capacity must be
+    # divisible by the gauss axis
+    mesh = None
+    capacity = int(len(points) * tcfg.capacity_multiplier)
+    if getattr(args, "multihost", False):
+        from intro_to_gaussian_splatting_tpu.parallel.mesh import GAUSS_AXIS
+        from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+            global_mesh,
+        )
+        mesh = global_mesh()
+        g = mesh.shape[GAUSS_AXIS]
+        capacity = -(-capacity // g) * g
+        print(f"multihost: {jax.process_count()} processes, "
+              f"mesh={dict(mesh.shape)}")
+
     model = init_from_points(
         points.xyz, points.rgb, sh_degree=tcfg.sh_degree, color_space="sh",
-        capacity=int(len(points) * tcfg.capacity_multiplier),
-        opacity=0.1, scale_init=None)
+        capacity=capacity, opacity=0.1, scale_init=None)
     extent = scene_extent_of(points.xyz)
 
     def log(m):
@@ -298,23 +426,40 @@ def train_cli(args) -> int:
 
     trainer = Trainer(model=model, cameras=cams, targets=targets,
                       scene_extent=extent, tcfg=tcfg, on_log=log,
-                      log_every=max(1, min(50, args.iterations // 6)))
+                      log_every=max(1, min(50, args.iterations // 6)),
+                      mesh=mesh)
     trainer.run(args.iterations)
 
     os.makedirs(args.out_dir, exist_ok=True)
     save_checkpoint(os.path.join(args.out_dir, "ckpt"), trainer.model,
                     trainer.opt_state, trainer.step)
-    export_ply(os.path.join(args.out_dir, "point_cloud.ply"), trainer.model)
-    img = np.asarray(render_tiled(trainer.model, cams[0], trainer.rcfg,
-                                  active_sh_degree=trainer.active_sh_degree))
-    write_ppm(os.path.join(args.out_dir, "render.ppm"), img)
-    print(f"saved checkpoint + ply + render to {args.out_dir}")
+    final_model = trainer.model
+    if mesh is not None and jax.process_count() > 1:
+        # gather the globally-sharded model so every process holds a local
+        # copy for PLY export / final render (orbax above already wrote the
+        # sharded checkpoint collectively)
+        from jax.experimental import multihost_utils
+        final_model = jax.tree.map(
+            lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)),
+            trainer.model)
+        final_model = final_model.replace(
+            active=np.asarray(final_model.active).astype(bool))
+    if jax.process_index() == 0:
+        export_ply(os.path.join(args.out_dir, "point_cloud.ply"),
+                   final_model)
+        img = np.asarray(render_tiled(
+            jax.tree.map(jnp.asarray, final_model), cams[0], trainer.rcfg,
+            active_sh_degree=trainer.active_sh_degree))
+        write_ppm(os.path.join(args.out_dir, "render.ppm"), img)
+        print(f"saved checkpoint + ply + render to {args.out_dir}")
 
-    if getattr(args, "eval_at_end", False):
+    if getattr(args, "eval_at_end", False) and jax.process_index() == 0:
         from intro_to_gaussian_splatting_tpu.train.evaluate import evaluate
         es = holdout_scene if holdout_scene.cameras else train_scene
         tag = "holdout" if holdout_scene.cameras else "train"
-        rows = evaluate(trainer.model, es.cameras, es.targets, trainer.rcfg,
+        rows = evaluate(jax.tree.map(jnp.asarray, final_model), es.cameras,
+                        es.targets, trainer.rcfg,
                         active_sh_degree=trainer.active_sh_degree,
                         names=es.names)
         for r in rows:

@@ -205,3 +205,34 @@ def test_gather_pairs_vjp_matches_scatter_add():
     want = np.zeros((n, 16), np.float64)
     np.add.at(want, rank[:total], g_em.astype(np.float64))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=1e-3)
+
+
+def test_feature_major_gather_path_matches(monkeypatch):
+    """The large-pool feature-major gather (slabbed forward + stable-sort
+    backward, ops/binning._gather_pairs_fm) must be numerically identical
+    to the default pair-major path: forced on by dropping the threshold,
+    with a slab size smaller than the pool so the fori_loop really slabs."""
+    from intro_to_gaussian_splatting_tpu.ops import binning as B
+
+    raw, cam, model = small_scene(n=120, width=48, height=48, seed=19,
+                                  scale_hi=0.35, opacity_hi=5.0)
+    target = jnp.asarray(
+        np.linspace(0, 1, 48 * 48 * 3, dtype=np.float32).reshape(48, 48, 3))
+
+    def loss(params):
+        img = render_tiled(model.replace(**params), cam, CFG, interpret=True)
+        return jnp.mean(jnp.abs(img - target))
+
+    l0, g0 = jax.value_and_grad(loss)(model.params())
+
+    monkeypatch.setattr(B, "_FM_PAIR_THRESHOLD", 0)
+    monkeypatch.setattr(B, "_FM_SLAB", 512)
+    jax.clear_caches()   # recompile render_tiled against the patched path
+    l1, g1 = jax.value_and_grad(loss)(model.params())
+    jax.clear_caches()   # do not leak patched executables to other tests
+
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"fm-path grad mismatch: {k}")

@@ -139,6 +139,53 @@ def test_sharded_gradients_match_single_device(mesh, ring):
     assert not bool(aux["overflowed"])
 
 
+def test_trainer_with_mesh_densifies_and_improves(mesh):
+    """The Trainer's sharded mode runs the FULL 3DGS recipe multi-device:
+    loss falls, PSNR climbs, and densification (probe-gradient driven,
+    under jit on sharded arrays) grows the active count."""
+    from intro_to_gaussian_splatting_tpu.train.trainer import Trainer
+
+    raw, cam, true_model = _scene(n=48, width=32, height=32, seed=41)
+    target = np.asarray(render_tiled(true_model, cam, RCFG, interpret=True))
+
+    # start from a degraded copy embedded in a larger (mesh-divisible) pool
+    cap = 64
+    import jax.numpy as jnp
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((cap - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+    key = jax.random.PRNGKey(5)
+    noisy = true_model.replace(
+        sh=true_model.sh + 0.6 * jax.random.normal(key, true_model.sh.shape),
+        opacity_logits=true_model.opacity_logits - 1.5)
+    model = noisy.replace(
+        means=pad(noisy.means), log_scales=pad(noisy.log_scales, -10.0),
+        quats=pad(noisy.quats), opacity_logits=pad(noisy.opacity_logits,
+                                                   -10.0),
+        sh=pad(noisy.sh),
+        active=jnp.arange(cap) < noisy.capacity)
+
+    # densify once mid-run (step 8) so the split perturbation has recovery
+    # steps before the final measurement
+    tcfg = TrainConfig(ssim_weight=0.0, densify_start=8, densify_stop=9,
+                       densify_interval=8, densify_grad_threshold=1e-7,
+                       opacity_reset_interval=0)
+    trainer = Trainer(model=model, cameras=[cam], targets=[target],
+                      scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=2,
+                      mesh=mesh)
+    hist = trainer.run(24)
+    assert hist[-1]["num_active"] > 48, \
+        f"densification never fired: {hist}"
+    # densification (split noise + duplicated alpha) perturbs a small
+    # near-converged scene; the recipe is healthy if optimization keeps
+    # improving THROUGH it: the first post-densify log is the worst point
+    post = next(m for m in hist if m["num_active"] > 48)
+    assert hist[-1]["loss"] < post["loss"] * 0.95, (post, hist[-1])
+    assert hist[-1]["psnr"] > post["psnr"] + 0.2, (post, hist[-1])
+    assert all(np.isfinite(m["loss"]) for m in hist), hist
+
+
 def test_ring_probe_grads_match_allgather(mesh):
     """Screen-space probe gradients: ring vs all_gather paths agree."""
     from intro_to_gaussian_splatting_tpu.parallel.sharded import sharded_loss_fn

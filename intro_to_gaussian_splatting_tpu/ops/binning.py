@@ -144,41 +144,77 @@ _FM_PAIR_THRESHOLD = 1 << 22     # pairs; above this the padded temp > 2 GB
 _FM_SLAB = 1 << 21               # pairs per forward gather slab (~1 GB padded)
 
 
+def _loc_masks(dtype=np.float32):
+    """Static per-feature-row localization selectors (which rows shift by
+    the tile origin / take the tile id)."""
+    col = np.arange(P.NUM_REC_ROWS)
+    is_x = np.isin(col, [P.REC_MEAN_X, P.REC_MIN_X, P.REC_MAX_X]).astype(dtype)
+    is_y = np.isin(col, [P.REC_MEAN_Y, P.REC_MIN_Y, P.REC_MAX_Y]).astype(dtype)
+    is_tile = (col == P.REC_TILE).astype(dtype)
+    return is_x, is_y, is_tile
+
+
 @jax.custom_vjp
-def _gather_pairs_fm(records_rank, sorted_rank, lo, hi):
-    """records_rank (N, F) -> (F, MP) in sorted pair order (see above)."""
+def _gather_pairs_fm(records_rank, sorted_rank, sx, sy, tile_f, lo, hi):
+    """records_rank (N, F) -> LOCALIZED (F, MP) in sorted pair order.
+
+    Gather and tile-frame localization fused in one slab pass, so exactly
+    one (F, MP) buffer is ever written (a second full-stream
+    materialization costs ~2 GB at dense pair counts)."""
     del lo, hi
-    return _take_rows_feature_major(records_rank, sorted_rank)
+    return _take_localize_feature_major(records_rank, sorted_rank, sx, sy,
+                                        tile_f)
 
 
-def _take_rows_feature_major(src, idx):
+def _take_localize_feature_major(src, idx, sx, sy, tile_f):
     mp = idx.shape[0]
     f = src.shape[1]
     slabs = -(-mp // _FM_SLAB)
     mp_pad = slabs * _FM_SLAB
     idx_p = jnp.pad(idx, (0, mp_pad - mp))
+    sx_p = jnp.pad(sx, (0, mp_pad - mp))
+    sy_p = jnp.pad(sy, (0, mp_pad - mp))
+    tf_p = jnp.pad(tile_f, (0, mp_pad - mp))
+    is_x, is_y, is_tile = (jnp.asarray(m)[:, None] for m in _loc_masks())
     out = jnp.zeros((f, mp_pad), src.dtype)
 
     def body(s, out):
-        sl = jax.lax.dynamic_slice(idx_p, (s * _FM_SLAB,), (_FM_SLAB,))
-        rows = jnp.take(src, sl, axis=0)          # (SLAB, F): bounded temp
-        return jax.lax.dynamic_update_slice(out, rows.T, (0, s * _FM_SLAB))
+        o = s * _FM_SLAB
+        sl = jax.lax.dynamic_slice(idx_p, (o,), (_FM_SLAB,))
+        rows = jnp.take(src, sl, axis=0).T        # (F, SLAB): bounded temp
+        loc = (rows * (1.0 - is_tile)
+               - is_x * jax.lax.dynamic_slice(sx_p, (o,), (_FM_SLAB,))[None]
+               - is_y * jax.lax.dynamic_slice(sy_p, (o,), (_FM_SLAB,))[None]
+               + is_tile * jax.lax.dynamic_slice(tf_p, (o,),
+                                                 (_FM_SLAB,))[None])
+        return jax.lax.dynamic_update_slice(out, loc, (0, o))
 
     out = jax.lax.fori_loop(0, slabs, body, out)
     return out[:, :mp] if mp_pad != mp else out
 
 
-def _gather_pairs_fm_fwd(records_rank, sorted_rank, lo, hi):
-    return _gather_pairs_fm(records_rank, sorted_rank, lo, hi), \
-        (sorted_rank, lo, hi)
+def _gather_pairs_fm_fwd(records_rank, sorted_rank, sx, sy, tile_f, lo, hi):
+    return _gather_pairs_fm(records_rank, sorted_rank, sx, sy, tile_f,
+                            lo, hi), (sorted_rank, lo, hi)
 
 
 def _gather_pairs_fm_bwd(res, g):
     sorted_rank, lo, hi = res
     f, mp = g.shape
-    # emission order via ONE stable sort (dense 1-D operands only)
-    ops = (sorted_rank,) + tuple(g[c] for c in range(f))
-    g_em = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)[1:]
+    # emission order via stable sorts (dense 1-D operands only). Two
+    # half-width sorts instead of one 17-operand sort: each stable sort of
+    # the same key yields the identical permutation, and the in+out
+    # operand footprint (the peak-memory term at 30M pairs) halves.
+    # localization chain rule: tile-id rows are constant overwrites (zero
+    # gradient to records), shift rows pass through unchanged
+    _, _, is_tile = _loc_masks()
+    half = f // 2
+    g_em = []
+    for lo_c, hi_c in ((0, half), (half, f)):
+        ops = (sorted_rank,) + tuple(g[c] * (1.0 - float(is_tile[c]))
+                                     for c in range(lo_c, hi_c))
+        g_em.extend(jax.lax.sort(ops, dimension=0, is_stable=True,
+                                 num_keys=1)[1:])
     g_em = jnp.stack(g_em, axis=0)                           # (F, MP)
     b = _CUM_BLOCK
     nb = -(-mp // b)
@@ -195,7 +231,7 @@ def _gather_pairs_fm_bwd(res, g):
     fhi = jnp.take(fine_flat, hi, axis=1)
     flo = jnp.take(fine_flat, lo, axis=1)
     d_records = ((chi - clo) + (fhi - flo)).T                # (N, F)
-    return d_records, None, None, None
+    return d_records, None, None, None, None, None, None
 
 
 _gather_pairs_fm.defvjp(_gather_pairs_fm_fwd, _gather_pairs_fm_bwd)
@@ -221,6 +257,12 @@ def bin_gaussians(
     # after the fact avoids materializing a second copy of the multi-GB
     # record stream at dense pair counts.
     mp_alloc = max_pairs + config.chunk_size
+    if mp_alloc > _FM_PAIR_THRESHOLD:
+        # feature-major path: round the pool to a whole number of gather
+        # slabs so the slab loop writes the output exactly (a trailing
+        # slice would copy the ~2 GB stream once more); extra slots are
+        # sentinel-keyed like the overhang chunk
+        mp_alloc = round_up(mp_alloc, _FM_SLAB)
 
     # 1. depth sort, invalid last (ref: global z argsort, gaussian_scene.py:117)
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
@@ -338,22 +380,15 @@ def bin_gaussians(
     tile_f = sorted_keys.astype(jnp.float32)
     sx = jnp.where(pair_valid, (sorted_keys % ntx) * ts, 0).astype(jnp.float32)
     sy = jnp.where(pair_valid, (sorted_keys // ntx) * ts, 0).astype(jnp.float32)
-    col = np.arange(P.NUM_REC_ROWS)
-    is_x = jnp.asarray(np.isin(col, [P.REC_MEAN_X, P.REC_MIN_X, P.REC_MAX_X]),
-                       jnp.float32)
-    is_y = jnp.asarray(np.isin(col, [P.REC_MEAN_Y, P.REC_MIN_Y, P.REC_MAX_Y]),
-                       jnp.float32)
-    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)
     if mp_alloc > _FM_PAIR_THRESHOLD:
         # large pools: feature-major end to end -- a pair-major (MP, 16)
         # intermediate would 8x-pad to multiple chip memories (see
-        # _gather_pairs_fm)
-        pr_fm = _gather_pairs_fm(records_rank, sorted_rank, lo, hi)
-        pair_records = (pr_fm * (1.0 - is_tile)[:, None]
-                        - is_x[:, None] * sx[None, :]
-                        - is_y[:, None] * sy[None, :]
-                        + is_tile[:, None] * tile_f[None, :])   # (16, MP)
+        # _gather_pairs_fm; gather + localization fused per slab)
+        pair_records = _gather_pairs_fm(records_rank, sorted_rank, sx, sy,
+                                        tile_f, lo, hi)         # (16, MP)
     else:
+        mx = _loc_masks()
+        is_x, is_y, is_tile = (jnp.asarray(m) for m in mx)
         # Localization as one fused elementwise pass over (MP, 16) followed
         # by a single dense (MP, 16) -> (16, MP) transpose. (A per-column
         # stack reads strided columns: measured ~4 ms; this ~1 ms.)

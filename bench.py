@@ -381,7 +381,14 @@ def main():
             f"pairs_per_gaussian={config_knn.pairs_per_gaussian}, "
             f"group_tiles=16 (default pool would truncate to "
             f"{config.pairs_per_gaussian * n_gauss})")
-    knn = timed_workloads("knn-init", model_knn, config_knn)
+    try:
+        knn = timed_workloads("knn-init", model_knn, config_knn)
+    except Exception as e:
+        # the honest-dense pool is ~150x the training workload's and probes
+        # the chip's memory ceiling; never let it sink the headline numbers
+        log(f"[knn-init] FAILED ({type(e).__name__}: {e}); "
+            f"reporting ref-init only")
+        knn = None
 
     def ssim_gate():
         """Compiled fused-SSIM vs interpret on the chip (value + grad)."""
@@ -410,16 +417,17 @@ def main():
 
     parity_gate()
     ssim_gate()
-    if config_knn is not config:
-        # the dense workload ran with (group_tiles=8, accum=high): gate that
-        # kernel variant too before publishing its number
+    if knn is not None and config_knn is not config:
+        # the dense workload ran with a different kernel variant: gate it
+        # too before publishing its number
         parity_gate(_dc.replace(config, group_tiles=config_knn.group_tiles,
                                 accum_precision=config_knn.accum_precision))
 
     pairs_ref = pair_demand(model_ref, "ref-init")
     ratio_ref, bind_ref = roofline_ratio(pairs_ref, config, ref["kernel_s"])
-    ratio_knn, bind_knn = roofline_ratio(pairs_knn, config_knn,
-                                         knn["kernel_s"])
+    ratio_knn, bind_knn = (roofline_ratio(pairs_knn, config_knn,
+                                          knn["kernel_s"])
+                           if knn is not None else (None, None))
     if ratio_ref is not None:
         log(f"roofline (bare raster kernel vs analytic bound, v5e): "
             f"ref-init {pairs_ref} pairs, {ratio_ref:.2f}x "
@@ -437,8 +445,10 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(value / baseline_mpix_s, 2),
         "fwd_mpix_s": round(mpix / ref["fwd_s"], 2),
-        "knn_init_step_mpix_s": round(mpix / knn["step_s"], 2),
-        "knn_init_fwd_mpix_s": round(mpix / knn["fwd_s"], 2),
+        "knn_init_step_mpix_s": (round(mpix / knn["step_s"], 2)
+                                 if knn is not None else None),
+        "knn_init_fwd_mpix_s": (round(mpix / knn["fwd_s"], 2)
+                                if knn is not None else None),
         "roofline_fwd_ratio_ref": (round(ratio_ref, 3)
                                    if ratio_ref is not None else None),
         "roofline_fwd_ratio_knn": (round(ratio_knn, 3)

@@ -42,7 +42,7 @@ def _load(args):
     keys = sorted(images.keys())
     image = images[keys[args.image_index % len(keys)]]
     cam = camera_from_colmap(cameras[image.camera_id], image, args.downscale)
-    return model, cam, points
+    return model, cam, points, (cameras[image.camera_id], image)
 
 
 def write_ppm(path: str, img: np.ndarray) -> None:
@@ -55,7 +55,7 @@ def write_ppm(path: str, img: np.ndarray) -> None:
 def cmd_render(args) -> int:
     from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
     from intro_to_gaussian_splatting_tpu.ops.render import render
-    model, cam, points = _load(args)
+    model, cam, points, _ = _load(args)
     config = RasterizerConfig(tile_size=args.tile_size)
     t0 = time.time()
     img = np.asarray(render(model, cam, config, backend=args.backend))
@@ -71,8 +71,10 @@ def cmd_render(args) -> int:
 def cmd_points(args) -> int:
     """Point-projection sanity render (reference SURVEY.md section 3.5:
     GaussianScene.render_points_image, splat/gaussian_scene.py:44-51)."""
-    from intro_to_gaussian_splatting_tpu.ops.points import render_points_image
-    model, cam, points = _load(args)
+    from intro_to_gaussian_splatting_tpu.ops.points import (
+        keypoint_reprojection_report, render_points_image,
+    )
+    model, cam, points, (cam_rec, image_rec) = _load(args)
     t0 = time.time()
     img = np.asarray(render_points_image(
         np.asarray(points.xyz, np.float32),
@@ -81,6 +83,17 @@ def cmd_points(args) -> int:
     print(f"projected {len(points)} points in {time.time() - t0:.3f}s")
     write_ppm(args.output, img)
     print(f"wrote {args.output}")
+    if args.compare_keypoints:
+        r = keypoint_reprojection_report(points, cam_rec, image_rec,
+                                         args.downscale)
+        if r["n_matched"] == 0:
+            print("keypoint overlay: no stored keypoints matched the "
+                  "loaded points (nothing to compare)")
+        else:
+            print(f"keypoint overlay vs COLMAP ({r['n_matched']}/"
+                  f"{r['n_keypoints']} keypoints matched): "
+                  f"mean {r['mean_px']:.2f}px, median {r['median_px']:.2f}px,"
+                  f" p90 {r['p90_px']:.2f}px, max {r['max_px']:.2f}px")
     return 0
 
 
@@ -88,7 +101,7 @@ def cmd_bench(args) -> int:
     from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
     from intro_to_gaussian_splatting_tpu.ops.render import render
     from intro_to_gaussian_splatting_tpu.utils.profiling import benchmark
-    model, cam, points = _load(args)
+    model, cam, points, _ = _load(args)
     config = RasterizerConfig(tile_size=args.tile_size)
     res = benchmark(render, model, cam, config, backend=args.backend,
                     iters=args.iters)
@@ -146,12 +159,25 @@ def cmd_eval(args) -> int:
         _, scene = scene.split_holdout(args.holdout)
     if not scene.cameras:
         raise SystemExit("no cameras with ground-truth images to evaluate")
-    rcfg = RasterizerConfig(tile_size=args.tile_size)
+    # a densified trained model can hold far more pairs than the default
+    # pool; a silently-overflowing pool would deflate PSNR/SSIM, so the
+    # pool is a flag and every overflowing view is called out loudly
+    rcfg = RasterizerConfig(tile_size=args.tile_size,
+                            pairs_per_gaussian=args.pairs_per_gaussian)
     rows = evaluate(model, scene.cameras, scene.targets, rcfg,
                     names=scene.names)
+    n_overflowed = 0
     for r in rows:
+        flag = ""
+        if r.get("overflowed"):
+            n_overflowed += 1
+            flag = "  [PAIR POOL OVERFLOW: metrics unreliable]"
         print(f"{r['name']:>24s}  psnr {r['psnr']:6.2f}  "
-              f"ssim {r['ssim']:.4f}")
+              f"ssim {r['ssim']:.4f}{flag}")
+    if n_overflowed:
+        print(f"WARNING: {n_overflowed} view(s) overflowed the pair pool; "
+              f"re-run with a larger --pairs-per-gaussian "
+              f"(currently {rcfg.pairs_per_gaussian})")
     if args.save_renders:
         os.makedirs(args.save_renders, exist_ok=True)
         for name, img in zip(scene.names,
@@ -206,6 +232,10 @@ def main(argv=None) -> int:
     _add_scene_args(p)
     p.add_argument("--output", "-o", default="points.ppm")
     p.add_argument("--radius", type=int, default=1, help="point splat radius, px")
+    p.add_argument("--compare-keypoints", action="store_true",
+                   help="report reprojection error of projected 3D points "
+                        "vs COLMAP's stored 2D keypoints (the reference's "
+                        "overlay sanity check, as numbers)")
     p.set_defaults(fn=cmd_points)
 
     p = sub.add_parser("bench", help="time the renderer on a scene view")
@@ -246,6 +276,9 @@ def main(argv=None) -> int:
     p.add_argument("--ply", required=True,
                    help="trained model (gstpu train writes point_cloud.ply)")
     p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--pairs-per-gaussian", type=int, default=8,
+                   help="pair-pool capacity per gaussian; overflowing "
+                        "views are flagged (densified models need more)")
     p.add_argument("--holdout", type=int, default=0, metavar="N",
                    help="evaluate only every Nth view (holdout protocol)")
     p.add_argument("--save-renders", default=None, metavar="DIR",

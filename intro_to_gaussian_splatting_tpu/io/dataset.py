@@ -82,11 +82,15 @@ def load_scene(scene_dir: str, downscale: int = 1, min_track: int = 2,
 
     if image_dir is None:
         # the model may live at <scene>/sparse/0; images are a sibling of
-        # sparse/, i.e. under the scene root
-        root = scene_dir
-        if os.path.basename(os.path.normpath(sparse)) != \
-                os.path.basename(os.path.normpath(scene_dir)):
-            root = scene_dir
+        # sparse/, i.e. under the scene root -- walk up from the resolved
+        # sparse dir past any trailing numeric part and the "sparse"
+        # component so passing <scene>, <scene>/sparse or <scene>/sparse/0
+        # as scene_dir all find <scene>/images
+        root = os.path.normpath(sparse)
+        while os.path.basename(root).isdigit():
+            root = os.path.dirname(root)
+        if os.path.basename(root) == "sparse":
+            root = os.path.dirname(root)
         image_dir = os.path.join(root, "images")
 
     from PIL import Image as PILImage

@@ -43,9 +43,11 @@ def download(url: str, dest_path: str, timeout: float = 30.0,
         req.add_header("Range", f"bytes={start}-")
     mode = "ab" if start else "wb"
     with urlopen(req, timeout=timeout) as resp:
-        total = start + int(resp.headers.get("Content-Length") or 0)
         if start and resp.status != 206:   # server ignored the Range
             start, mode = 0, "wb"
+        # compute total AFTER the 206 check: on a full restart the stale
+        # `start` must not overstate the progress denominator
+        total = start + int(resp.headers.get("Content-Length") or 0)
         with open(tmp, mode) as f:
             got = start
             while True:

@@ -91,6 +91,47 @@ def rotmat_to_quat(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def project_points_numpy(
+    xyz: np.ndarray, qvec: np.ndarray, tvec: np.ndarray,
+    fx: float, width: int, height: int, min_z: float = 0.2,
+    fy: float | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-NumPy pinhole projection: world points -> (xy pixels, valid).
+
+    Exactly the reference's keypoint-overlay math (cull -> homog @
+    full_proj -> /w -> ndc2Pix; splat/image.py:72-89) in the row-vector
+    convention of models/camera.make_camera, so the synthetic scene's
+    stored keypoints are geometrically consistent with what
+    ops.points.project_points computes -- the reference's de-facto
+    correctness oracle (scatter overlay, cpu_render.ipynb cells 3/5).
+    NumPy-only so scene generation never touches a device."""
+    from intro_to_gaussian_splatting_tpu.models.camera import (
+        Z_FAR, Z_NEAR, focal2fov, perspective_matrix, quat_to_rotmat,
+    )
+
+    fy = fx if fy is None else fy
+    R = quat_to_rotmat(qvec)
+    w2v = np.zeros((4, 4))
+    w2v[:3, :3] = R
+    w2v[:3, 3] = np.asarray(tvec, dtype=np.float64)
+    w2v[3, 3] = 1.0
+    w2v = w2v.T
+    proj = perspective_matrix(Z_NEAR, Z_FAR,
+                              focal2fov(fx, width),
+                              focal2fov(fy, height)).T
+    full_proj = w2v @ proj
+    homog = np.concatenate([xyz, np.ones((len(xyz), 1))], axis=1)
+    depth = (homog @ w2v)[:, 2]
+    clip = homog @ full_proj
+    w = np.where(np.abs(clip[:, 3:4]) < 1e-12, 1e-12, clip[:, 3:4])
+    ndc = clip[:, :3] / w
+    x = (ndc[:, 0] + 1.0) * (width - 1) / 2.0   # ndc2Pix, ref utils.py:313
+    y = (ndc[:, 1] + 1.0) * (height - 1) / 2.0
+    valid = ((depth >= min_z) & (x >= 0) & (x < width)
+             & (y >= 0) & (y < height))
+    return np.stack([x, y], axis=1), valid
+
+
 def make_colmap_scene(
     out_dir: str,
     num_points: int = 500,
@@ -99,8 +140,16 @@ def make_colmap_scene(
     height: int = 96,
     seed: int = 0,
     write_images: bool = False,
+    keypoint_noise_px: float = 0.0,
 ) -> str:
     """Write a synthetic COLMAP sparse model to ``out_dir/sparse/0``.
+
+    The stored 2D keypoints are the TRUE projections of the 3D points into
+    each camera (optionally perturbed by ``keypoint_noise_px`` of gaussian
+    reprojection noise, as a real bundle-adjusted reconstruction would
+    show), so the reference's keypoint-overlay sanity check (projected 3D
+    points land on the stored keypoints, splat/gaussian_scene.py:44-51)
+    holds on this scene and is assertable in tests.
 
     With ``write_images=True`` also renders a ground-truth image per camera
     (dense renderer over the synthetic cloud with soft splats) into
@@ -121,12 +170,19 @@ def make_colmap_scene(
     }
     poses = ring_cameras(num_cameras, width, height, seed=seed)
     images: Dict[int, C.ColmapImage] = {}
-    # each image observes a random subset of points (for track structure)
+    # each image observes a random subset of ITS VISIBLE points (for track
+    # structure); keypoints are their true projections
     track_image_ids = [[] for _ in range(num_points)]
     track_p2d = [[] for _ in range(num_points)]
     for i, (qvec, tvec) in enumerate(poses, start=1):
-        obs = np.sort(rng.choice(num_points, size=num_points // 2, replace=False))
-        xys = rng.uniform(0, [width, height], size=(len(obs), 2))
+        all_xy, valid = project_points_numpy(
+            xyz, qvec, tvec, focal, width, height)
+        visible = np.flatnonzero(valid)
+        n_obs = max(1, min(len(visible), num_points // 2))
+        obs = np.sort(rng.choice(visible, size=n_obs, replace=False))
+        xys = all_xy[obs]
+        if keypoint_noise_px > 0:
+            xys = xys + rng.normal(0.0, keypoint_noise_px, xys.shape)
         pids = np.arange(1, num_points + 1)[obs]
         images[i] = C.ColmapImage(
             id=i, qvec=qvec, tvec=tvec, camera_id=1,

@@ -122,6 +122,32 @@ def make_camera(
     )
 
 
+def world2view_recentered(
+    R: np.ndarray, t: np.ndarray,
+    translate: np.ndarray = (0.0, 0.0, 0.0), scale: float = 1.0,
+) -> np.ndarray:
+    """World->view with a recentered/rescaled camera position.
+
+    Analogue of the reference's ``getWorld2View2``
+    (splat/utils.py:175-186): recompose [Rᵀ | t], invert to cam2world,
+    shift+scale the camera center, invert back. Used by 3DGS-family
+    code to normalize scene translation/scale; unused by the reference's
+    own render path but part of its API surface. Note the reference's v2
+    transposes R where ``getWorld2View`` (utils.py:162-172) does not --
+    reproduced here since that is the documented v2 behavior.
+
+    Returns the plain (column-vector) 4x4; pass its transpose where the
+    row-vector convention is needed (as ``make_camera`` does internally).
+    """
+    Rt = np.zeros((4, 4))
+    Rt[:3, :3] = np.asarray(R, dtype=np.float64).T
+    Rt[:3, 3] = np.asarray(t, dtype=np.float64)
+    Rt[3, 3] = 1.0
+    c2w = np.linalg.inv(Rt)
+    c2w[:3, 3] = (c2w[:3, 3] + np.asarray(translate, np.float64)) * scale
+    return np.linalg.inv(c2w)
+
+
 def camera_from_colmap(camera, image, downscale: int = 1) -> Camera:
     """Build from io.colmap records (ColmapCamera, ColmapImage)."""
     return make_camera(

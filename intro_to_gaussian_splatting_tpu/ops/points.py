@@ -59,6 +59,53 @@ def project_points(points: jax.Array, camera: Camera, min_z: float = 0.2):
     return xy, depth, in_front & on_screen
 
 
+def keypoint_reprojection_report(points, camera_rec, image_rec,
+                                 downscale: int = 1) -> dict:
+    """Compare projected 3D points against COLMAP's stored 2D keypoints.
+
+    The reference's de-facto correctness oracle is the visual overlay of
+    projected points on stored keypoints (splat/gaussian_scene.py:44-51,
+    cpu_render.ipynb cells 3/5); this is that check as numbers: for every
+    keypoint of ``image_rec`` linked to a 3D point present in ``points``,
+    the reprojection error in pixels. Host-side NumPy only (no device
+    work, tunnel-safe). Returns ``{n_keypoints, n_matched, mean_px,
+    median_px, p90_px, max_px}``; errors are in DOWNSCALED pixel units.
+
+    Note the camera model here assumes a centered principal point (as the
+    reference does); reconstructions with off-center cx/cy show a
+    constant offset of that many pixels.
+    """
+    import numpy as np
+
+    from intro_to_gaussian_splatting_tpu.io.synthetic import (
+        project_points_numpy,
+    )
+
+    xy, valid = project_points_numpy(
+        np.asarray(points.xyz, np.float64), image_rec.qvec, image_rec.tvec,
+        fx=camera_rec.fx / downscale, fy=camera_rec.fy / downscale,
+        width=camera_rec.width // downscale,
+        height=camera_rec.height // downscale)
+    id_to_row = {int(pid): i for i, pid in enumerate(points.ids)}
+    errs = []
+    pids = np.asarray(image_rec.point3D_ids)
+    for k, pid in enumerate(pids):
+        row = id_to_row.get(int(pid))
+        if row is None or not valid[row]:
+            continue
+        stored = np.asarray(image_rec.xys[k], np.float64) / downscale
+        errs.append(np.linalg.norm(xy[row] - stored))
+    errs = np.asarray(errs)
+    return dict(
+        n_keypoints=int(len(pids)),
+        n_matched=int(len(errs)),
+        mean_px=float(errs.mean()) if len(errs) else None,
+        median_px=float(np.median(errs)) if len(errs) else None,
+        p90_px=float(np.percentile(errs, 90)) if len(errs) else None,
+        max_px=float(errs.max()) if len(errs) else None,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("splat_radius",))
 def render_points_image(
     points: jax.Array,

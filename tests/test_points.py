@@ -59,6 +59,61 @@ def test_render_points_image_shapes_and_hits():
     assert d.max() < 1e-5
 
 
+def test_keypoint_overlay_matches_stored_keypoints(tmp_path):
+    """The reference's de-facto correctness oracle: projected 3D points
+    land on COLMAP's stored 2D keypoints (splat/gaussian_scene.py:44-51,
+    cpu_render.ipynb cells 3/5 scatter overlay). The synthetic scene
+    writes TRUE projected keypoints, so the overlay is assertable in
+    pixels, via both the device path (ops.points.project_points) and the
+    report helper the CLI exposes (--compare-keypoints)."""
+    from intro_to_gaussian_splatting_tpu.io import read_model
+    from intro_to_gaussian_splatting_tpu.io.synthetic import make_colmap_scene
+    from intro_to_gaussian_splatting_tpu.models.camera import (
+        camera_from_colmap,
+    )
+    from intro_to_gaussian_splatting_tpu.ops.points import (
+        keypoint_reprojection_report,
+    )
+
+    sparse = make_colmap_scene(str(tmp_path), num_points=300, num_cameras=3,
+                               width=160, height=120, seed=3)
+    cameras, images, points = read_model(sparse)
+
+    for iid in sorted(images.keys()):
+        im = images[iid]
+        cam_rec = cameras[im.camera_id]
+
+        # device path: project the full cloud, compare slots by point id
+        cam = camera_from_colmap(cam_rec, im)
+        xy, depth, valid = project_points(
+            np.asarray(points.xyz, np.float32), cam)
+        xy = np.asarray(xy)
+        id_to_row = {int(p): i for i, p in enumerate(points.ids)}
+        n_checked = 0
+        for k, pid in enumerate(im.point3D_ids):
+            row = id_to_row[int(pid)]
+            assert valid[row], "stored keypoint for a point we cull"
+            np.testing.assert_allclose(xy[row], im.xys[k], atol=0.05,
+                                       err_msg=f"image {iid} keypoint {k}")
+            n_checked += 1
+        assert n_checked > 20
+
+        # report helper (host-only numpy path, what the CLI prints)
+        r = keypoint_reprojection_report(points, cam_rec, im)
+        assert r["n_matched"] == r["n_keypoints"] == n_checked
+        assert r["max_px"] < 0.05
+
+    # noisy keypoints (a real bundle adjustment) show up in the report
+    sparse_n = make_colmap_scene(str(tmp_path / "noisy"), num_points=200,
+                                 num_cameras=2, width=160, height=120,
+                                 seed=4, keypoint_noise_px=1.0)
+    _, images_n, points_n = read_model(sparse_n)
+    cams_n, _, _ = read_model(sparse_n)
+    im = images_n[1]
+    r = keypoint_reprojection_report(points_n, cams_n[im.camera_id], im)
+    assert 0.2 < r["mean_px"] < 5.0
+
+
 def test_benchmark_helper():
     from intro_to_gaussian_splatting_tpu.utils.profiling import (
         benchmark, rasterizer_roofline, TPU_PEAKS,

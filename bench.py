@@ -293,6 +293,16 @@ def main():
             ntx, nty = tile_grid(width, height, cfg.tile_size)
             self.num_groups = -(-(ntx * nty) // cfg.group_tiles)
             self.bins_box = [None]
+            # the tile layout depends on (tile_size, group_tiles): a cfg
+            # that changes either needs its own target tiling (reusing the
+            # default-config tiles shape-mismatches inside train_step)
+            if (cfg.tile_size, cfg.group_tiles) == (config.tile_size,
+                                                    config.group_tiles):
+                self.target_tiles, self.target_mask = target_tiles, target_mask
+            else:
+                self.target_tiles = jax.jit(
+                    image_to_tiles, static_argnames="config")(target, cfg)
+                self.target_mask = tile_pixel_mask(height, width, cfg)
 
         def run_fwd(self, n):
             return host_fetch_scalar(
@@ -308,8 +318,8 @@ def main():
 
         def run_step(self, n):
             out = self.step_chain(self.model, self.opt_state, self.dstate,
-                                  cam, target_tiles, target_mask, target_chw,
-                                  jnp.int32(n), self.cfg)
+                                  cam, self.target_tiles, self.target_mask,
+                                  target_chw, jnp.int32(n), self.cfg)
             return host_fetch_scalar(out[0].means[0, 0])
 
         def compile_all(self):
@@ -321,7 +331,7 @@ def main():
             log(f"[{self.tag}] compiling train step (tile L1 + fused SSIM "
                 f"+ Adam) ...")
             self.step_chain(self.model, self.opt_state, self.dstate, cam,
-                            target_tiles, target_mask, target_chw,
+                            self.target_tiles, self.target_mask, target_chw,
                             jnp.int32(1), self.cfg)
             if self.with_kernel:
                 log(f"[{self.tag}] compiling binning + bare kernel ...")

@@ -260,6 +260,13 @@ def main(argv=None) -> int:
     p.add_argument("--eval-at-end", action="store_true",
                    help="print PSNR/SSIM on the holdout (or train) views "
                         "after training")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="save full training state every N steps "
+                        "(failure recovery; 0 = save at end only)")
+    p.add_argument("--resume", nargs="?", const="auto", default=None,
+                   metavar="CKPT_DIR",
+                   help="resume from a checkpoint dir (bare --resume uses "
+                        "<out-dir>/ckpt); --iterations is the TOTAL budget")
     mh = p.add_argument_group("multi-host (jax.distributed)")
     mh.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed before training "

@@ -144,3 +144,8 @@ class TrainConfig:
     opacity_reset_interval: int = 3000
     capacity_multiplier: float = 4.0  # fixed pool = multiplier * init count
     seed: int = 0
+    # Failure recovery: save the full training state (model + optimizer
+    # moments + step) every N steps so a preempted/failed run resumes from
+    # the last checkpoint (gstpu train --resume); 0 = save at end only
+    checkpoint_every: int = 0
+    checkpoint_keep: int = 3        # retain the newest N periodic ckpts

@@ -28,10 +28,13 @@ analogue of sequence parallelism):
   * The scalar loss is a masked psum over both axes; everything downstream
     (optimizer update on sharded params) stays element-wise sharded.
 
-Caveats vs the single-chip path: SSIM windows do not cross strip
-boundaries (strip-local SSIM; the per-strip losses are row-weighted, so
-padded strips do not bias the mean); densification runs on
-globally-sharded arrays under jit (XLA inserts gathers for the argsorts).
+SSIM windows cross strip boundaries exactly: each strip ppermutes a
+(win-1)-row halo from its successor (_next_strip_halo) and owns precisely
+the windows STARTING in its rows, so the sharded objective equals the
+single-chip one (grad parity tested with ssim on). Per-strip losses are
+combined as global (numerator, count) pairs, so padded strips carry their
+true weight. Densification runs on globally-sharded arrays under jit
+(XLA inserts gathers for the argsorts).
 """
 
 from __future__ import annotations
@@ -109,8 +112,43 @@ def ring_max_pairs(capacity: int, n_strips: int,
     return round_up(max(per, rcfg.chunk_size), rcfg.chunk_size)
 
 
+_RING_DEPTH_BUCKETS = 1024
+
+
+def ring_hop_pairs(max_pairs_local: int, g_size: int,
+                   rcfg: RasterizerConfig) -> int:
+    """Default per-hop emission slab for the ring: ~4x the balanced share
+    of the strip's pair budget, so each hop's buffer write is O(slab)
+    instead of O(max_pairs) -- total ring write traffic O(4*MP) rather
+    than O(gauss_axis * MP). Uneven shard->strip distributions that
+    exceed the slab drop pairs and raise `overflowed`; small gauss axes
+    degrade to the full budget (exactness preserved)."""
+    from intro_to_gaussian_splatting_tpu.ops.binning import round_up
+    h = min(max_pairs_local,
+            max(4 * max_pairs_local // max(g_size, 1), 2 * rcfg.chunk_size))
+    return round_up(h, rcfg.chunk_size)
+
+
+def _tile_spans(bb, ts, inclusive):
+    """Tile-index bounds from bbox record rows, same rule as bin_gaussians
+    step 2 (ref tile overlap: gaussian_scene.py:208-226). Returns
+    un-clamped (tx0, tx1, ty0, ty1) in GLOBAL tile coordinates."""
+    min_x, max_x = bb[P.REC_MIN_X], bb[P.REC_MAX_X]
+    min_y, max_y = bb[P.REC_MIN_Y], bb[P.REC_MAX_Y]
+    if inclusive:
+        tx0 = jnp.ceil(min_x / ts).astype(jnp.int32) - 1
+        ty0 = jnp.ceil(min_y / ts).astype(jnp.int32) - 1
+    else:
+        tx0 = jnp.floor(min_x / ts).astype(jnp.int32)
+        ty0 = jnp.floor(min_y / ts).astype(jnp.int32)
+    tx1 = jnp.floor(max_x / ts).astype(jnp.int32)
+    ty1 = jnp.floor(max_y / ts).astype(jnp.int32)
+    return tx0, tx1, ty0, ty1
+
+
 def _ring_bin_strip(proj_local, width: int, strip_rows: int,
-                    rcfg: RasterizerConfig, max_pairs_local: int):
+                    rcfg: RasterizerConfig, max_pairs_local: int,
+                    hop_pairs: Optional[int] = None):
     """Runs INSIDE shard_map: ppermute-ring the local projected shard around
     the gauss axis, collecting this device's strip pairs; returns
     (pair_records (16, MP), group_starts (NG+1,), overflowed ()).
@@ -119,8 +157,21 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     memory. Compositing order is exact: pairs are finally sorted by
     (tile, camera depth, emission index), so the arbitrary shard arrival
     order never reaches the rasterizer. Same span/clamp semantics as
-    ops/binning.bin_gaussians (ref tile overlap: gaussian_scene.py:208-226);
-    overflow drops whole gaussians within the arriving shard, far tail last.
+    ops/binning.bin_gaussians (ref tile overlap: gaussian_scene.py:208-226).
+
+    Overflow policy matches single-chip ``bin_gaussians`` (global
+    far-to-near whole-gaussian drop, ops/binning.py step 3) up to one
+    depth-bucket of quantization: a collective-summed per-depth-bucket
+    demand histogram (pass 1, no extra ring -- each device histograms its
+    OWN shard for every strip and one psum over the gauss axis totals
+    them) yields the deepest admitted depth whose cumulative demand fits
+    this strip's budget; the ring pass then admits exactly the gaussians
+    nearer than that threshold, independent of shard arrival order.
+
+    Buffer writes are per-hop SLABS of ``hop_pairs`` rows placed
+    contiguously with dynamic_update_slice into a feature-major
+    (16, MP + hop) buffer -- O(emitted) traffic per hop and no pair-major
+    (MP, 16) intermediate (whose 128-lane padding costs 8x memory).
     """
     ts = rcfg.tile_size
     ntx, nty_local = tile_grid(width, strip_rows, ts)
@@ -129,10 +180,15 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     num_groups = -(-num_tiles // gt)
     sentinel = float(num_groups * gt)
     mp = max_pairs_local
-    # +1 sentinel-keyed chunk: the rasterize_pairs contract (its last DMA
-    # window may overhang the true pair range; see rasterize_pallas)
-    mp_alloc = mp + rcfg.chunk_size
     g_size = jax.lax.axis_size(GAUSS_AXIS)
+    t_size = jax.lax.axis_size(TILE_AXIS)
+    n_strips = g_size * t_size
+    hop = hop_pairs or ring_hop_pairs(mp, g_size, rcfg)
+    # slab overhang doubles as the rasterize_pairs sentinel-chunk contract
+    # (its last DMA window may overhang the true pair range); the kernel
+    # additionally requires a whole number of chunks
+    from intro_to_gaussian_splatting_tpu.ops.binning import round_up
+    mp_alloc = round_up(mp + hop, rcfg.chunk_size)
     row0 = (_strip_index() * strip_rows).astype(jnp.float32)
     ty_lo = (_strip_index() * nty_local).astype(jnp.int32)
 
@@ -140,43 +196,72 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     valid0 = proj_local.valid
     ns = rec0.shape[1]
     perm = [(i, (i + 1) % g_size) for i in range(g_size)]
+    inclusive = rcfg.compat.inclusive_tile_overlap
 
-    buf_rec = jnp.zeros((mp_alloc, P.NUM_REC_ROWS), jnp.float32)
+    # ---- pass 1 (collective, no ring): global far-tail admission -------
+    nb = _RING_DEPTH_BUCKETS
+    depth0 = jax.lax.stop_gradient(rec0[P.REC_DEPTH])
+    dmin = jax.lax.pmin(
+        jnp.min(jnp.where(valid0, depth0, jnp.inf)), GAUSS_AXIS)
+    dmax = jax.lax.pmax(
+        jnp.max(jnp.where(valid0, depth0, -jnp.inf)), GAUSS_AXIS)
+    dscale = nb / jnp.maximum(dmax - dmin, 1e-12)
+
+    def bucket_of(d):
+        return jnp.clip(((d - dmin) * dscale).astype(jnp.int32), 0, nb - 1)
+
+    tx0_0, tx1_0, ty0_0, ty1_0 = _tile_spans(
+        jax.lax.stop_gradient(rec0), ts, inclusive)
+    tx0_0 = jnp.maximum(tx0_0, 0)
+    tx1_0 = jnp.minimum(tx1_0, ntx - 1)
+    span_x0 = jnp.clip(tx1_0 - tx0_0 + 1, 0, rcfg.max_span)
+    b0 = bucket_of(depth0)
+    hist_rows = []
+    for s in range(n_strips):
+        lo, hi = s * nty_local, (s + 1) * nty_local - 1
+        rows = jnp.clip(
+            jnp.minimum(ty1_0, hi) - jnp.maximum(ty0_0, lo) + 1,
+            0, rcfg.max_span)
+        c = jnp.where(valid0, span_x0 * rows, 0)
+        hist_rows.append(
+            jnp.zeros((nb,), jnp.int32).at[b0].add(c, mode="drop"))
+    hist = jax.lax.psum(jnp.stack(hist_rows), GAUSS_AXIS)  # (n_strips, NB)
+    my_cum = jnp.cumsum(jnp.take(hist, _strip_index(), axis=0))
+    # deepest admitted bucket prefix that fits the budget; kept >= 1 so a
+    # single overfull bucket degrades to arrival-order capping (the cap
+    # below) instead of dropping everything
+    bstar = jnp.maximum(jnp.sum((my_cum <= mp).astype(jnp.int32)), 1)
+
+    # ---- pass 2: the ring ---------------------------------------------
+    buf_rec = jnp.zeros((P.NUM_REC_ROWS, mp_alloc), jnp.float32)
     buf_key = jnp.full((mp_alloc,), sentinel, jnp.float32)
-    p_iota = jnp.arange(mp_alloc, dtype=jnp.int32)
+    p_iota = jnp.arange(hop, dtype=jnp.int32)
 
     def step(carry, _):
-        rec, valid, base, total, buf_rec, buf_key = carry
+        rec, valid, base, total, hop_ovf, buf_rec, buf_key = carry
         bb = jax.lax.stop_gradient(rec)
-        min_x, max_x = bb[P.REC_MIN_X], bb[P.REC_MAX_X]
-        min_y, max_y = bb[P.REC_MIN_Y], bb[P.REC_MAX_Y]
-        # identical tile-span rule to bin_gaussians (incl. the inclusive-
-        # overlap compat shift); y intersected with this strip's tile rows
-        if rcfg.compat.inclusive_tile_overlap:
-            tx0 = jnp.ceil(min_x / ts).astype(jnp.int32) - 1
-            ty0 = jnp.ceil(min_y / ts).astype(jnp.int32) - 1
-        else:
-            tx0 = jnp.floor(min_x / ts).astype(jnp.int32)
-            ty0 = jnp.floor(min_y / ts).astype(jnp.int32)
-        tx1 = jnp.floor(max_x / ts).astype(jnp.int32)
-        ty1 = jnp.floor(max_y / ts).astype(jnp.int32)
+        tx0, tx1, ty0, ty1 = _tile_spans(bb, ts, inclusive)
         tx0 = jnp.maximum(tx0, 0)
         ty0 = jnp.maximum(ty0, ty_lo) - ty_lo            # strip-local rows
         tx1 = jnp.minimum(tx1, ntx - 1)
         ty1 = jnp.minimum(ty1, ty_lo + nty_local - 1) - ty_lo
         span_x = jnp.clip(tx1 - tx0 + 1, 0, rcfg.max_span)
         span_y = jnp.clip(ty1 - ty0 + 1, 0, rcfg.max_span)
-        counts = jnp.where(valid, span_x * span_y, 0)
+        demand = jnp.where(valid, span_x * span_y, 0)
+        admit = bucket_of(bb[P.REC_DEPTH]) < bstar
+        counts = jnp.where(admit, demand, 0)
         offsets = jnp.concatenate(
             [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
-        step_total = offsets[-1]
-        # whole-gaussian drop against the REMAINING buffer capacity
-        rem = mp - base
-        full = offsets[1:] <= rem
+        # whole-gaussian cap against slab size and (fallback-case only)
+        # remaining capacity; under the bstar threshold the global
+        # admitted total never exceeds mp, so base + emit <= mp always
+        cap = jnp.minimum(hop, mp - base)
+        full = offsets[1:] <= cap
         emit_total = jnp.max(jnp.where(full, offsets[1:], 0))
+        hop_ovf = hop_ovf | (emit_total < offsets[-1])
 
-        # ragged expand (same marks trick as bin_gaussians step 4)
-        marks = jnp.zeros((mp_alloc,), jnp.int32).at[offsets[1:]].add(
+        # ragged expand over the hop slab (marks trick, binning step 4)
+        marks = jnp.zeros((hop,), jnp.int32).at[offsets[1:]].add(
             1, mode="drop")
         rank = jnp.clip(jnp.cumsum(marks), 0, ns - 1)
         geom = jnp.stack([offsets[:-1], span_x, tx0, ty0], axis=1)
@@ -187,26 +272,29 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
         tile_id = ((gp[:, 3] + dy) * ntx + (gp[:, 2] + dx)).astype(
             jnp.float32)
         emitted = p_iota < emit_total
-        slot = jnp.where(emitted, base + p_iota, mp_alloc)   # OOB -> dropped
-        pair_rows = jnp.take(rec.T, rank, axis=0)        # (MP, 16), diff'able
-        buf_rec = buf_rec.at[slot].set(pair_rows, mode="drop")
-        buf_key = buf_key.at[slot].set(tile_id, mode="drop")
+        # zero masked lanes so any junk cotangent on an overwritten or
+        # sentinel lane cannot scatter back into real record gradients
+        slab_rec = jnp.take(rec, rank, axis=1) * \
+            emitted.astype(jnp.float32)[None, :]          # (16, hop)
+        slab_key = jnp.where(emitted, tile_id, sentinel)
+        buf_rec = jax.lax.dynamic_update_slice(buf_rec, slab_rec, (0, base))
+        buf_key = jax.lax.dynamic_update_slice(buf_key, slab_key, (base,))
 
         rec, valid = jax.lax.ppermute((rec, valid), GAUSS_AXIS, perm)
-        return (rec, valid, base + emit_total, total + step_total,
-                buf_rec, buf_key), None
+        return (rec, valid, base + emit_total, total + jnp.sum(demand),
+                hop_ovf, buf_rec, buf_key), None
 
     init = (rec0, valid0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            buf_rec, buf_key)
-    (_, _, base, total, buf_rec, buf_key), _ = jax.lax.scan(
+            jnp.zeros((), bool), buf_rec, buf_key)
+    (_, _, base, total, hop_ovf, buf_rec, buf_key), _ = jax.lax.scan(
         step, init, None, length=g_size)
 
     # ONE stable sort restores exact global front-to-back order per tile
-    depth_key = jax.lax.stop_gradient(buf_rec[:, P.REC_DEPTH])
+    depth_key = jax.lax.stop_gradient(buf_rec[P.REC_DEPTH])
     sorted_key, _, perm_idx = jax.lax.sort(
-        (buf_key, depth_key, p_iota), dimension=0, is_stable=True,
-        num_keys=2)
-    pr = jnp.take(buf_rec, perm_idx, axis=0)             # (MP, 16)
+        (buf_key, depth_key, jnp.arange(mp_alloc, dtype=jnp.int32)),
+        dimension=0, is_stable=True, num_keys=2)
+    pr = jnp.take(buf_rec, perm_idx, axis=1)             # (16, MP_alloc)
 
     # localize means/bboxes to the owning tile's pixel frame (x: tile
     # column; y: global strip offset + tile row), as bin_gaussians step 7
@@ -216,18 +304,18 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
                    row0 + (sorted_key // ntx).astype(jnp.float32) * ts, 0.0)
     col = np.arange(P.NUM_REC_ROWS)
     is_x = jnp.asarray(np.isin(col, [P.REC_MEAN_X, P.REC_MIN_X, P.REC_MAX_X]),
-                       jnp.float32)[None, :]
+                       jnp.float32)[:, None]
     is_y = jnp.asarray(np.isin(col, [P.REC_MEAN_Y, P.REC_MIN_Y, P.REC_MAX_Y]),
-                       jnp.float32)[None, :]
-    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)[None, :]
-    pr = (pr * (1.0 - is_tile) - sx[:, None] * is_x - sy[:, None] * is_y
-          + sorted_key[:, None] * is_tile)
+                       jnp.float32)[:, None]
+    is_tile = jnp.asarray(col == P.REC_TILE, jnp.float32)[:, None]
+    pr = (pr * (1.0 - is_tile) - sx[None, :] * is_x - sy[None, :] * is_y
+          + sorted_key[None, :] * is_tile)
 
     boundaries = jnp.arange(num_groups + 1, dtype=jnp.int32) * gt
     group_starts = jnp.searchsorted(
         sorted_key, boundaries.astype(jnp.float32), side="left").astype(
         jnp.int32)
-    return pr.T, group_starts, total > mp
+    return pr, group_starts, (total > mp) | hop_ovf
 
 
 def _render_strip(model_shard: GaussianModel, camera: Camera,
@@ -235,7 +323,8 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
                   active_sh_degree: Optional[int], interpret: bool,
                   ring: bool = True,
                   max_pairs_local: Optional[int] = None,
-                  mean2d_offset: Optional[jax.Array] = None):
+                  mean2d_offset: Optional[jax.Array] = None,
+                  hop_pairs: Optional[int] = None):
     """Runs INSIDE shard_map: project local shard, route records to strip
     owners (ppermute ring or all_gather), rasterize this device's tile
     strip. Returns ((strip_rows, W, 8) raw channels, overflowed)."""
@@ -254,7 +343,7 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
                 model_shard.capacity * jax.lax.axis_size(GAUSS_AXIS),
                 n_strips, rcfg)
         records, group_starts, overflowed = _ring_bin_strip(
-            proj, w, strip_rows, rcfg, max_pairs_local)
+            proj, w, strip_rows, rcfg, max_pairs_local, hop_pairs)
     else:
         proj_full = jax.tree.map(
             lambda x: jax.lax.all_gather(x, GAUSS_AXIS, axis=0, tiled=True),
@@ -276,7 +365,8 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rcfg", "active_sh_degree", "interpret", "mesh", "ring"))
+    static_argnames=("rcfg", "active_sh_degree", "interpret", "mesh", "ring",
+                     "max_pairs_local", "hop_pairs"))
 def sharded_render(
     model: GaussianModel,
     camera: Camera,
@@ -285,8 +375,15 @@ def sharded_render(
     active_sh_degree: Optional[int] = None,
     interpret: Optional[bool] = None,
     ring: bool = True,
+    max_pairs_local: Optional[int] = None,
+    hop_pairs: Optional[int] = None,
 ) -> jax.Array:
-    """Multi-device render -> (H, W, 3) on the host mesh."""
+    """Multi-device render -> (H, W, 3) on the host mesh.
+
+    ``max_pairs_local`` / ``hop_pairs`` override the ring's per-strip pair
+    budget and per-hop slab (defaults: ring_max_pairs / ring_hop_pairs);
+    exceeding the budget drops whole gaussians far-to-near globally, like
+    the single-chip pool (see _ring_bin_strip)."""
     if interpret is None:
         interpret = _interpret_default()
     n_strips = mesh.shape[GAUSS_AXIS] * mesh.shape[TILE_AXIS]
@@ -294,7 +391,9 @@ def sharded_render(
 
     def f(model_shard, cam):
         strip, _, _ = _render_strip(model_shard, cam, rcfg, strip_rows,
-                                    active_sh_degree, interpret, ring=ring)
+                                    active_sh_degree, interpret, ring=ring,
+                                    max_pairs_local=max_pairs_local,
+                                    hop_pairs=hop_pairs)
         return strip
 
     out = shard_map(
@@ -304,6 +403,24 @@ def sharded_render(
         check_vma=False,  # pallas_call does not declare varying-mesh axes
     )(model, camera)
     return out[:camera.height, :, :3]
+
+
+def _next_strip_halo(x: jax.Array, rows: int) -> jax.Array:
+    """First ``rows`` rows of the NEXT strip (index s+1 in the combined
+    (gauss, tiles) strip order), delivered to strip s: a ppermute shift
+    along the tile axis, plus a gauss-axis shift for the column that
+    wrapped (strip (g, T-1) needs rows from (g+1, 0)). The final strip
+    receives wrapped garbage; callers must mask it (its windows lie past
+    the true image height, so the row mask already does)."""
+    t_size = jax.lax.axis_size(TILE_AXIS)
+    g_size = jax.lax.axis_size(GAUSS_AXIS)
+    head = x[:rows]
+    a = jax.lax.ppermute(head, TILE_AXIS,
+                         [((t + 1) % t_size, t) for t in range(t_size)])
+    b = jax.lax.ppermute(a, GAUSS_AXIS,
+                         [((g + 1) % g_size, g) for g in range(g_size)])
+    is_last_col = jax.lax.axis_index(TILE_AXIS) == t_size - 1
+    return jnp.where(is_last_col, b, a)
 
 
 def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
@@ -325,6 +442,8 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
     n_strips = mesh.shape[GAUSS_AXIS] * mesh.shape[TILE_AXIS]
     strip_rows, padded_h = strip_layout(height, rcfg.tile_size, n_strips)
     win = 11  # SSIM window
+    assert strip_rows >= win - 1, \
+        f"strips of {strip_rows} rows are thinner than the SSIM halo"
 
     def inner(params_shard, active_shard, probe_shard, target_strip, cam):
         model_shard = model_template.replace(active=active_shard,
@@ -349,12 +468,24 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
         loss = allsum(l1_num) / allsum(l1_den)
         mse = allsum(sq_num) / allsum(l1_den)
         if ssim_weight > 0.0:
-            smap = ssim_chw(strip.transpose(2, 0, 1),
-                            target_strip.transpose(2, 0, 1), window=win,
-                            reduce=False)          # (3, SR-10, W-10)
-            # windows whose rows extend past the true image are invalid
+            # cross-strip halo: windows starting in this strip may read up
+            # to win-1 rows of the NEXT strip; ppermute them in so the
+            # sharded objective equals the single-chip one at strip
+            # boundaries (without this, boundary windows were silently
+            # dropped and multi-chip SSIM diverged from single-chip)
+            ext_p = jnp.concatenate(
+                [strip, _next_strip_halo(strip, win - 1)], axis=0)
+            ext_t = jnp.concatenate(
+                [target_strip, _next_strip_halo(target_strip, win - 1)],
+                axis=0)
+            smap = ssim_chw(ext_p.transpose(2, 0, 1),
+                            ext_t.transpose(2, 0, 1), window=win,
+                            reduce=False)          # (3, SR, W-10)
+            # exactly the windows STARTING in this strip count (global
+            # coverage: each of the image's height-win+1 window rows is
+            # owned by one strip); rows past the true image are invalid
             wrow = (jax.lax.broadcasted_iota(
-                jnp.int32, (1, strip_rows - win + 1, 1), 1) + row0
+                jnp.int32, (1, strip_rows, 1), 1) + row0
                 < height - win + 1).astype(strip.dtype)
             s_num = jnp.sum(smap * wrow)
             s_den = jnp.sum(wrow) * smap.shape[0] * smap.shape[2]

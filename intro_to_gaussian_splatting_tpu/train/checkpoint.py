@@ -32,6 +32,25 @@ def save_checkpoint(path: str, model: GaussianModel, opt_state: Any,
     ckptr.wait_until_finished()
 
 
+def list_checkpoint_steps(path: str):
+    """Step numbers with a saved checkpoint under ``path``, ascending."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return []
+    return sorted(int(d.split("_")[1]) for d in os.listdir(path)
+                  if d.startswith("step_"))
+
+
+def prune_checkpoints(path: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` step_* checkpoints (call from
+    process 0 only in multi-host runs)."""
+    import shutil
+    steps = list_checkpoint_steps(path)
+    for s in steps[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(os.path.abspath(path), f"step_{s}"),
+                      ignore_errors=True)
+
+
 def load_checkpoint(path: str, model_template: GaussianModel,
                     opt_state_template: Any,
                     step: Optional[int] = None) -> Tuple[GaussianModel, Any, int]:

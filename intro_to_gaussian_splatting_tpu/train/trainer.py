@@ -122,7 +122,18 @@ def train_step(
                                   return_aux=True, mean2d_offset=probe)
         loss = tile_l1(tiles, target_tiles, target_mask)
         if tcfg.ssim_weight > 0.0:
-            img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
+            from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+                _interpret_default,
+            )
+            if _interpret_default():
+                img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
+            else:
+                # Pallas relayout: same permutation, ~5x cheaper fwd+bwd
+                # than the XLA untile at treehill scale (relayout_pallas)
+                from intro_to_gaussian_splatting_tpu.ops.relayout_pallas \
+                    import untile_chw_fast
+                img = untile_chw_fast(tiles[:, :4], ntx, nty, ts, h, w,
+                                      False)
             loss = ((1.0 - tcfg.ssim_weight) * loss
                     + tcfg.ssim_weight
                     * (1.0 - fused_ssim(img, target_image,
@@ -188,6 +199,11 @@ class Trainer:
     on_log: Optional[Callable] = None
     mesh: Optional[object] = None      # jax.sharding.Mesh
     ring: bool = True
+    # failure recovery: with checkpoint_dir set and tcfg.checkpoint_every>0,
+    # the full state (model + optimizer + step) is saved periodically and
+    # resume() restores the newest one (multihost story:
+    # parallel/multihost.py -- restart all processes, resume, continue)
+    checkpoint_dir: Optional[str] = None
 
     def __post_init__(self):
         self.tx = make_optimizer(self.tcfg, self.scene_extent)
@@ -320,6 +336,7 @@ class Trainer:
                     self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
             self.step += 1
             self._maybe_densify()
+            self._maybe_checkpoint()
             if self.step % self.log_every == 0 or it == iterations - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(step=self.step, sec=round(time.time() - t0, 2))
@@ -329,6 +346,59 @@ class Trainer:
                 if m["overflowed"]:
                     self._grow_pair_pool()
         return self.history
+
+    def _maybe_checkpoint(self):
+        """Periodic full-state save (model + optimizer moments + step)."""
+        every = self.tcfg.checkpoint_every
+        if not (every and self.checkpoint_dir and self.step % every == 0):
+            return
+        from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+            prune_checkpoints, save_checkpoint,
+        )
+        save_checkpoint(self.checkpoint_dir, self.model, self.opt_state,
+                        self.step)
+        if jax.process_index() == 0:
+            prune_checkpoints(self.checkpoint_dir, self.tcfg.checkpoint_keep)
+        if self.on_log:
+            self.on_log(dict(step=self.step, event="checkpoint_saved",
+                             dir=self.checkpoint_dir))
+
+    def resume(self, path: Optional[str] = None,
+               step: Optional[int] = None) -> int:
+        """Restore model/optimizer/step from the newest (or given)
+        checkpoint; returns the restored step. The Trainer must be built
+        with the same scene/capacity as the run that saved it."""
+        from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+        path = path or self.checkpoint_dir
+        assert path, "resume() needs a checkpoint path"
+        self.model, self.opt_state, self.step = load_checkpoint(
+            path, self.model, self.opt_state, step)
+        if self.mesh is not None:
+            # restored arrays are host-local; re-shard onto the mesh
+            # (capacity-leading leaves along the gauss axis, scalars
+            # replicated -- exactly the placement training produced)
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from intro_to_gaussian_splatting_tpu.parallel.mesh import (
+                GAUSS_AXIS,
+            )
+            from intro_to_gaussian_splatting_tpu.parallel.multihost import (
+                put_global,
+            )
+            capacity = self.model.capacity
+
+            def reshard(x):
+                sharded = (getattr(x, "ndim", 0) >= 1
+                           and x.shape[0] == capacity)
+                spec = PS(GAUSS_AXIS) if sharded else PS()
+                if jax.process_count() > 1:
+                    return put_global(x, self.mesh, spec)
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            self.model = jax.tree.map(reshard, self.model)
+            self.opt_state = jax.tree.map(reshard, self.opt_state)
+        return self.step
 
     def _grow_pair_pool(self):
         """Overflow response: the (tile, gaussian) pair pool dropped whole
@@ -395,6 +465,9 @@ def train_cli(args) -> int:
     tcfg = TrainConfig(iterations=args.iterations)
     if getattr(args, "ssim_weight", None) is not None:
         tcfg = dataclasses.replace(tcfg, ssim_weight=args.ssim_weight)
+    if getattr(args, "checkpoint_every", None):
+        tcfg = dataclasses.replace(
+            tcfg, checkpoint_every=args.checkpoint_every)
 
     # --multihost: train the SHARDED step over the global mesh spanning all
     # processes' devices (gauss x tiles, ppermute ring); capacity must be
@@ -424,15 +497,25 @@ def train_cli(args) -> int:
         print(f"step {m['step']}: loss {m['loss']:.4f} "
               f"psnr {m['psnr']:.2f} active {int(m['num_active'])}")
 
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.out_dir, "ckpt")
     trainer = Trainer(model=model, cameras=cams, targets=targets,
                       scene_extent=extent, tcfg=tcfg, on_log=log,
                       log_every=max(1, min(50, args.iterations // 6)),
-                      mesh=mesh)
-    trainer.run(args.iterations)
+                      mesh=mesh, checkpoint_dir=ckpt_dir)
+    iterations = args.iterations
+    resume_from = getattr(args, "resume", None)
+    if resume_from:
+        restored = trainer.resume(
+            ckpt_dir if resume_from == "auto" else resume_from)
+        # --iterations is the TOTAL budget: run only the remainder
+        iterations = max(0, args.iterations - restored)
+        print(f"resumed from step {restored} "
+              f"({iterations} iterations remaining)")
+    trainer.run(iterations)
 
-    os.makedirs(args.out_dir, exist_ok=True)
-    save_checkpoint(os.path.join(args.out_dir, "ckpt"), trainer.model,
-                    trainer.opt_state, trainer.step)
+    save_checkpoint(ckpt_dir, trainer.model, trainer.opt_state,
+                    trainer.step)
     final_model = trainer.model
     if mesh is not None and jax.process_count() > 1:
         # gather the globally-sharded model so every process holds a local

@@ -114,12 +114,22 @@ def main():
                                 num_groups, cfg, interpret)
         return tile_l1(tiles, tt, tm)
 
+    def untile3(tiles):
+        """Exactly the train_step dispatch (trainer.loss_fn)."""
+        if interpret:
+            return untile_chw(tiles[:, :3], ntx, nty, ts, height, width)
+        from intro_to_gaussian_splatting_tpu.ops.relayout_pallas import (
+            untile_chw_fast,
+        )
+        return untile_chw_fast(tiles[:, :4], ntx, nty, ts, height, width,
+                               False)
+
     def stage_untile(m, tt, tm, tc):
         proj = project_gaussians(m, cam, cfg)
         bins = bin_gaussians(proj, width, height, cfg)
         tiles = rasterize_pairs(bins.pair_records, bins.group_starts,
                                 num_groups, cfg, interpret)
-        img = untile_chw(tiles[:, :3], ntx, nty, ts, height, width)
+        img = untile3(tiles)
         return tile_l1(tiles, tt, tm) + jnp.sum(img[:, ::512, ::512]) * 1e-9
 
     def stage_ssim(m, tt, tm, tc):
@@ -127,7 +137,7 @@ def main():
         bins = bin_gaussians(proj, width, height, cfg)
         tiles = rasterize_pairs(bins.pair_records, bins.group_starts,
                                 num_groups, cfg, interpret)
-        img = untile_chw(tiles[:, :3], ntx, nty, ts, height, width)
+        img = untile3(tiles)
         l = tile_l1(tiles, tt, tm)
         return (1 - tcfg.ssim_weight) * l + tcfg.ssim_weight * (
             1 - fused_ssim(img, tc, grad_target=False))
@@ -151,7 +161,7 @@ def main():
         else:
             scalar = fn
 
-        @functools.partial(jax.jit, static_argnames=("n",))
+        @jax.jit
         def chain(m, tt, tm, tc, n):
             def body(i, acc):
                 mm = m.replace(means=m.means + acc * 1e-30)
@@ -164,15 +174,20 @@ def main():
     def timed(chain):
         def run(n):
             return host_fetch_scalar(
-                chain(model, target_tiles, target_mask, target_chw, n))
+                chain(model, target_tiles, target_mask, target_chw,
+                      jnp.int32(n)))
         run(1)
-        for _ in range(3):
-            t1 = time.perf_counter(); run(iters)
-            t1 = time.perf_counter() - t1
-            t2 = time.perf_counter(); run(2 * iters)
-            t2 = time.perf_counter() - t2
-            if t2 > t1 * 1.2:
-                return (t2 - t1) / iters
+        # escalate the chain length until dispatch/fetch overhead is small
+        # vs device time (fast stages need ~1000 iters to resolve)
+        for mult in (1, 10, 100):
+            it = iters * mult
+            for _ in range(2):
+                t1 = time.perf_counter(); run(it)
+                t1 = time.perf_counter() - t1
+                t2 = time.perf_counter(); run(2 * it)
+                t2 = time.perf_counter() - t2
+                if t2 > t1 * 1.2 and t2 > 0.25:
+                    return (t2 - t1) / it
         return float("nan")
 
     prev = 0.0
@@ -188,7 +203,7 @@ def main():
     opt_state = tx.init(model.params())
     dstate = D.DensifyState.zero(model.capacity)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def step_chain(m, o, d, tt, tm, tc, n):
         def body(i, carry):
             mm, oo, dd = carry
@@ -199,7 +214,7 @@ def main():
 
     def run_step(n):
         out = step_chain(model, opt_state, dstate, target_tiles,
-                         target_mask, target_chw, n)
+                         target_mask, target_chw, jnp.int32(n))
         return host_fetch_scalar(out[0].means[0, 0])
 
     run_step(1)

@@ -87,6 +87,62 @@ def test_train_then_eval_end_to_end(scene_dir, tmp_path, capsys):
     assert -1.0 <= float(rows[-1][2]) <= 1.0
 
 
+def test_train_checkpoint_resume(scene_dir, tmp_path, capsys):
+    """Failure-recovery surface: train with periodic checkpoints, 'crash',
+    resume from the last checkpoint, finish the budget. Step numbering
+    continues and the final PSNR does not regress vs the interrupted run
+    (the multihost recovery story in parallel/multihost.py:12-16,
+    demonstrated rather than asserted)."""
+    out_dir = str(tmp_path / "out")
+    rc = cli.main(["train", scene_dir, "--iterations", "6",
+                   "--out-dir", out_dir, "--checkpoint-every", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    ckpt = os.path.join(out_dir, "ckpt")
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        list_checkpoint_steps,
+    )
+    # periodic saves at 3 and 6, plus the end-of-run save (step 6 again)
+    assert 3 in list_checkpoint_steps(ckpt)
+    assert 6 in list_checkpoint_steps(ckpt)
+    steps = re.findall(r"step (\d+): loss ([\d.]+) psnr ([-\d.]+)", out)
+    psnr_at_interrupt = float(steps[-1][2])
+
+    # resume with a larger total budget: must CONTINUE from step 6
+    rc = cli.main(["train", scene_dir, "--iterations", "12",
+                   "--out-dir", out_dir, "--checkpoint-every", "3",
+                   "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from step 6 (6 iterations remaining)" in out, out
+    steps = re.findall(r"step (\d+): loss ([\d.]+) psnr ([-\d.]+)", out)
+    assert steps, out
+    # step counter continued past the restore point
+    assert int(steps[0][0]) > 6
+    assert int(steps[-1][0]) == 12
+    # optimization continued: PSNR does not regress vs the interrupted run
+    assert float(steps[-1][2]) >= psnr_at_interrupt - 0.5, out
+    # a fully-budget-consumed resume is a no-op, not an error
+    rc = cli.main(["train", scene_dir, "--iterations", "12",
+                   "--out-dir", out_dir, "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from step 12 (0 iterations remaining)" in out, out
+
+
+def test_checkpoint_retention(tmp_path):
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        list_checkpoint_steps, prune_checkpoints,
+    )
+    d = str(tmp_path / "ck")
+    for s in (10, 20, 30, 40):
+        os.makedirs(os.path.join(d, f"step_{s}"))
+    prune_checkpoints(d, keep=2)
+    assert list_checkpoint_steps(d) == [30, 40]
+    prune_checkpoints(d, keep=0)   # keep=0 means no pruning
+    assert list_checkpoint_steps(d) == [30, 40]
+
+
 def test_eval_save_renders(scene_dir, tmp_path, capsys):
     out_dir = str(tmp_path / "out")
     cli.main(["train", scene_dir, "--iterations", "5", "--out-dir", out_dir])

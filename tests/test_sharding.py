@@ -103,23 +103,34 @@ def test_sharded_train_step_decreases_loss(mesh, ring):
     assert float(jnp.max(dstate.grad_accum)) > 0.0
 
 
-@pytest.mark.parametrize("ring", [False, True])
-def test_sharded_gradients_match_single_device(mesh, ring):
-    """Gradient parity: sharded loss == single-device loss and grads."""
+@pytest.mark.parametrize("ring,ssim_weight", [(False, 0.0), (True, 0.0),
+                                              (False, 0.2), (True, 0.2)])
+def test_sharded_gradients_match_single_device(mesh, ring, ssim_weight):
+    """Gradient parity: sharded loss == single-device loss and grads --
+    including SSIM on, whose windows cross strip boundaries via the
+    ppermute halo (the sharded objective must EQUAL the single-chip
+    (1-w)L1 + w(1-SSIM), not a strip-local approximation)."""
+    from intro_to_gaussian_splatting_tpu.train.loss import ssim as ssim_hwc
+
     raw, cam, model = _scene(n=32, width=32, height=32, seed=29)
     target = render_tiled(model, cam, RCFG, interpret=True) * 0.5
 
-    # single-device L1 loss
+    # single-device objective, mirroring train_step's loss exactly
     def loss_single(params):
         img = render_tiled(model.replace(**params), cam, RCFG, interpret=True)
-        return jnp.mean(jnp.abs(img - target))
+        loss = jnp.mean(jnp.abs(img - target))
+        if ssim_weight > 0.0:
+            loss = ((1.0 - ssim_weight) * loss
+                    + ssim_weight * (1.0 - ssim_hwc(img, target)))
+        return loss
 
     gs = jax.grad(loss_single)(model.params())
 
     from intro_to_gaussian_splatting_tpu.parallel.sharded import sharded_loss_fn
     smodel = shard_model(model, mesh)
     loss_fn, padded_h = sharded_loss_fn(
-        smodel, cam, mesh, RCFG, 0.0, None, True, cam.height, ring=ring)
+        smodel, cam, mesh, RCFG, ssim_weight, None, True, cam.height,
+        ring=ring)
     from jax.sharding import NamedSharding, PartitionSpec as PS
     target_padded = jax.device_put(
         pad_rows(target, padded_h), NamedSharding(mesh, PS(("gauss", "tiles"))))
@@ -184,6 +195,81 @@ def test_trainer_with_mesh_densifies_and_improves(mesh):
     assert hist[-1]["loss"] < post["loss"] * 0.95, (post, hist[-1])
     assert hist[-1]["psnr"] > post["psnr"] + 0.2, (post, hist[-1])
     assert all(np.isfinite(m["loss"]) for m in hist), hist
+
+
+def test_ring_overflow_drops_global_far_tail(mesh):
+    """Ring pair-pool overflow must (a) raise the overflowed flag and
+    (b) drop whole gaussians far-to-near by GLOBAL depth -- the same
+    policy as the single-chip pool (ops/binning.py step 3), independent
+    of shard arrival order. Scene: 6 one-pair gaussians per strip at
+    well-separated depths, per-strip budget 4 -> each strip must keep
+    exactly its 4 nearest, matching a single-chip render of only those."""
+    from jax.sharding import PartitionSpec as PS
+    from intro_to_gaussian_splatting_tpu.models.camera import make_camera
+    from intro_to_gaussian_splatting_tpu.parallel.sharded import (
+        _render_strip, shard_map,
+    )
+
+    W, H, ts = 32, 128, 16
+    n_strips, per_strip = 8, 6
+    n = n_strips * per_strip
+    fx = 40.0
+    cam = make_camera(fx=fx, fy=fx, width=W, height=H,
+                      qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3))
+    tan_x, tan_y = W / (2 * fx), H / (2 * fx)
+
+    rng = np.random.default_rng(7)
+    depth_order = rng.permutation(n)          # interleave depths vs strips
+    depths = 1.0 + 0.11 * depth_order
+    px = np.tile([8.0, 24.0, 8.4, 24.4, 8.8, 23.6], n_strips)[:n]
+    py = np.repeat(np.arange(n_strips) * ts + 8.0, per_strip) + \
+        rng.uniform(-1, 1, n)
+    # invert the projection: pixel -> NDC -> camera-space point at depth z
+    ndc_x = 2 * px / (W - 1) - 1
+    ndc_y = 2 * py / (H - 1) - 1
+    means = np.stack([ndc_x * depths * tan_x, ndc_y * depths * tan_y,
+                      depths], axis=1)
+    model = GaussianModel(
+        means=jnp.asarray(means, jnp.float32),
+        log_scales=jnp.log(jnp.asarray(depths, jnp.float32) / fx)[:, None]
+        * jnp.ones((1, 3)),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1)),
+        opacity_logits=jnp.full((n,), 4.0, jnp.float32),
+        sh=jnp.asarray(rng.uniform(0.2, 1.0, (n, 1, 3)), jnp.float32),
+        active=jnp.ones((n,), bool),
+        color_space="rgb",
+    )
+
+    strip_rows, padded_h = strip_layout(H, ts, n_strips)
+    assert strip_rows == ts
+    mp_local = 4
+
+    def f(model_shard, cam):
+        strip, ovf, _ = _render_strip(
+            model_shard, cam, RCFG, strip_rows, None, True, ring=True,
+            max_pairs_local=mp_local)
+        return strip, ovf[None]
+
+    strips, ovf = shard_map(
+        f, mesh=mesh, in_specs=(PS("gauss"), PS()),
+        out_specs=(PS(("gauss", "tiles")), PS(("gauss", "tiles"))),
+        check_vma=False)(shard_model(model, mesh), cam)
+    ring_img = np.asarray(strips)[:H, :, :3]
+    assert np.asarray(ovf).all(), "overflow flag must raise on every strip"
+
+    # expected: per strip, keep the 4 nearest (1 pair each)
+    keep = np.zeros((n,), bool)
+    strip_of = (py // ts).astype(int)
+    for s in range(n_strips):
+        idx = np.flatnonzero(strip_of == s)
+        keep[idx[np.argsort(depths[idx])][:mp_local]] = True
+    expected = np.asarray(render_tiled(
+        model.replace(active=jnp.asarray(keep)), cam, RCFG, interpret=True))
+    np.testing.assert_allclose(ring_img, expected, rtol=1e-4, atol=1e-5)
+
+    # sanity: the overflowed render differs from the full scene
+    full = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    assert np.abs(full - ring_img).max() > 1e-3
 
 
 def test_ring_probe_grads_match_allgather(mesh):

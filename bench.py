@@ -107,7 +107,9 @@ def main():
     )
     from intro_to_gaussian_splatting_tpu.models.camera import make_camera
     from intro_to_gaussian_splatting_tpu.models.gaussians import init_from_points
-    from intro_to_gaussian_splatting_tpu.ops.binning import tile_grid
+    from intro_to_gaussian_splatting_tpu.ops.binning import (
+        num_groups_for, tile_grid,
+    )
     from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
         image_to_tiles, render_tiled, tile_pixel_mask,
     )
@@ -291,7 +293,7 @@ def main():
             tx, self.opt_state, self.dstate = setup_train(model)
             self.step_chain = make_step_chain(tx)
             ntx, nty = tile_grid(width, height, cfg.tile_size)
-            self.num_groups = -(-(ntx * nty) // cfg.group_tiles)
+            self.num_groups = num_groups_for(ntx * nty, cfg)
             self.bins_box = [None]
             # the tile layout depends on (tile_size, group_tiles): a cfg
             # that changes either needs its own target tiling (reusing the
@@ -322,43 +324,77 @@ def main():
                                   target_chw, jnp.int32(n), self.cfg)
             return host_fetch_scalar(out[0].means[0, 0])
 
-        def compile_all(self):
+        def compile_all(self, strict=True):
             """Trace+compile every graph and enqueue one async warm run of
             each; returns without any host fetch (nothing blocks on the
-            cross-backend channel)."""
-            log(f"[{self.tag}] compiling forward ...")
-            fwd_chain(self.model, cam, jnp.int32(1), self.cfg)
-            log(f"[{self.tag}] compiling train step (tile L1 + fused SSIM "
-                f"+ Adam) ...")
-            self.step_chain(self.model, self.opt_state, self.dstate, cam,
-                            self.target_tiles, self.target_mask, target_chw,
-                            jnp.int32(1), self.cfg)
-            if self.with_kernel:
-                log(f"[{self.tag}] compiling binning + bare kernel ...")
-                self.bins_box[0] = bin_on_device(self.model, cam, self.cfg)
-                records, group_starts = self.bins_box[0]
-                kernel_chain(records, group_starts, jnp.int32(1), self.cfg,
-                             self.num_groups)
-            log(f"[{self.tag}] all graphs compiled, warm runs enqueued")
+            cross-backend channel). With ``strict=False`` a phase that
+            fails to compile (e.g. the honest-dense step exceeding the
+            memory ceiling) is skipped instead of sinking the others."""
+            self.compiled = set()
 
-        def time_all(self):
+            def phase(name, fn):
+                try:
+                    log(f"[{self.tag}] compiling {name} ...")
+                    fn()
+                    self.compiled.add(name)
+                except Exception as e:
+                    if strict:
+                        raise
+                    log(f"[{self.tag}] {name} compile FAILED "
+                        f"({type(e).__name__}); skipping that phase")
+
+            phase("fwd", lambda: fwd_chain(self.model, cam, jnp.int32(1),
+                                           self.cfg))
+            phase("step (tile L1 + fused SSIM + Adam)", lambda:
+                  self.step_chain(self.model, self.opt_state, self.dstate,
+                                  cam, self.target_tiles, self.target_mask,
+                                  target_chw, jnp.int32(1), self.cfg))
+            if "step (tile L1 + fused SSIM + Adam)" in self.compiled:
+                self.compiled.add("step")
+            if self.with_kernel:
+                def _k():
+                    self.bins_box[0] = bin_on_device(self.model, cam,
+                                                     self.cfg)
+                    records, group_starts = self.bins_box[0]
+                    kernel_chain(records, group_starts, jnp.int32(1),
+                                 self.cfg, self.num_groups)
+                phase("kernel", _k)
+            log(f"[{self.tag}] graphs compiled: {sorted(self.compiled)}")
+
+        def time_all(self, strict=True):
             """Chain-time fwd / kernel / step; requires warm fetch path.
 
             The pre-binned record stream for the bare-kernel timing can be
             ~2 GB at honest dense pair counts; it is freed before the step
             timing so the step graph gets its full peak memory."""
             tag = self.tag
-            fwd_s = paired(self.run_fwd, tag, "fwd")
+
+            def timed(name, run):
+                if name not in self.compiled:
+                    return None
+                try:
+                    return paired(run, tag, name)
+                except Exception as e:
+                    if strict:
+                        raise
+                    log(f"[{tag}] {name} timing FAILED "
+                        f"({type(e).__name__}: {e})")
+                    return None
+
+            fwd_s = timed("fwd", self.run_fwd)
             kernel_s = None
             if self.with_kernel:
-                kernel_s = paired(self.run_kernel, tag, "kernel")
+                kernel_s = timed("kernel", self.run_kernel)
                 self.bins_box[0] = None   # free ~2 GB before the step graph
-            step_s = paired(self.run_step, tag, "step")
+            step_s = timed("step", self.run_step)
+            fmsg = (f"fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) | "
+                    if fwd_s is not None else "")
             kmsg = (f"raster kernel {kernel_s*1e3:.1f} ms | "
                     if kernel_s is not None else "")
-            log(f"[{tag}] fwd {fwd_s*1e3:.1f} ms ({mpix/fwd_s:.1f} Mpix/s) "
-                f"| {kmsg}"
-                f"train_step {step_s*1e3:.1f} ms ({mpix/step_s:.1f} Mpix/s)")
+            smsg = (f"train_step {step_s*1e3:.1f} ms "
+                    f"({mpix/step_s:.1f} Mpix/s)"
+                    if step_s is not None else "train_step n/a")
+            log(f"[{tag}] {fmsg}{kmsg}{smsg}")
             return dict(fwd_s=fwd_s, step_s=step_s, kernel_s=kernel_s)
 
     def roofline_ratio(num_pairs, cfg, kernel_s):
@@ -511,11 +547,84 @@ def main():
         assert dg < 1e-4, f"COMPILED SSIM MISMATCH: grads {dg}"
         log("ssim gate: PASS")
 
+    def relayout_gate():
+        """Compiled Pallas untile (relayout_pallas) vs the XLA reference
+        permutation, on the chip, small shape."""
+        if backend != "tpu":
+            return
+        from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+            untile_chw,
+        )
+        from intro_to_gaussian_splatting_tpu.ops.relayout_pallas import (
+            untile_chw_fast,
+        )
+        ts, gt, h, w = config.tile_size, config.group_tiles, 192, 256
+        ntx, nty = tile_grid(w, h, ts)
+        ng = -(-(ntx * nty) // gt)
+        t = jax.random.normal(jax.random.PRNGKey(2),
+                              (ng, 4, gt, ts * ts), jnp.float32)
+
+        @jax.jit
+        def diff(t):
+            a = untile_chw_fast(t, ntx, nty, ts, h, w, False)
+            b = untile_chw(t[:, :3], ntx, nty, ts, h, w)
+            ga = jax.grad(lambda x: jnp.sum(
+                untile_chw_fast(x, ntx, nty, ts, h, w, False) ** 2))(t)
+            gb = jax.grad(lambda x: jnp.sum(
+                untile_chw(x[:, :3], ntx, nty, ts, h, w) ** 2))(t)
+            return jnp.max(jnp.abs(a - b)) + jnp.max(jnp.abs(ga - gb))
+        d = host_fetch_scalar(diff(t))
+        log(f"relayout gate: fwd+grad maxdiff {d:.2e}")
+        assert d == 0.0, f"PALLAS RELAYOUT MISMATCH: {d}"
+        log("relayout gate: PASS")
+
     if extras_allowed("ssim-gate"):
         try:
             ssim_gate()
         except Exception as e:
             log(f"[ssim-gate] FAILED ({type(e).__name__}: {e})")
+    if extras_allowed("relayout-gate"):
+        try:
+            relayout_gate()
+        except Exception as e:
+            log(f"[relayout-gate] FAILED ({type(e).__name__}: {e})")
+
+    # L1-only train step (ssim_weight=0): the r02-comparable number (r02's
+    # 970.7 Mpix/s predates the SSIM term in the headline step)
+    if extras_allowed("l1-step"):
+        try:
+            import dataclasses as _dc0
+            tcfg_l1 = _dc0.replace(tcfg, ssim_weight=0.0)
+
+            def make_l1_chain():
+                tx = make_optimizer(tcfg_l1, 10.0)
+                opt_state = tx.init(model_ref.params())
+                dstate = D.DensifyState.zero(model_ref.capacity)
+
+                @functools.partial(jax.jit, static_argnames=("cfg",))
+                def chain(model, opt_state, dstate, cam, tt, tm, n, cfg):
+                    def body(i, carry):
+                        m, o, d = carry
+                        m, o, d, _ = train_step(m, o, d, cam, tt, tm, None,
+                                                cfg, tcfg_l1, tx, 0)
+                        return (m, o, d)
+                    return jax.lax.fori_loop(0, n, body,
+                                             (model, opt_state, dstate))
+
+                def run(n):
+                    out = chain(model_ref, opt_state, dstate, cam,
+                                target_tiles, target_mask, jnp.int32(n),
+                                config)
+                    return host_fetch_scalar(out[0].means[0, 0])
+                return run
+            run_l1 = make_l1_chain()
+            log("[l1-step] compiling L1-only train step ...")
+            run_l1(1)
+            l1_s = paired(run_l1, "l1-step", "step")
+            log(f"[l1-step] L1-only train step {l1_s*1e3:.1f} ms "
+                f"({mpix/l1_s:.1f} Mpix/s) -- r02-comparable workload")
+        except Exception as e:
+            log(f"[l1-step] FAILED ({type(e).__name__}: {e})")
 
     # Dense-knn workload: paper-correct 3-NN mean-distance scales (what
     # training actually produces) -- a dense pair stream whose demand is
@@ -534,9 +643,12 @@ def main():
             config_knn = config
             if pairs_knn is not None:
                 ppg = -(-int(pairs_knn * 1.05) // n_gauss)
+                # small groups cut the one-hot matmul cost that dominates at
+                # this density; batch more of them per grid step so the
+                # sequential step overhead (~3us) stays amortized
                 config_knn = _dc.replace(config,
                                          pairs_per_gaussian=max(ppg, 4),
-                                         group_tiles=16)
+                                         group_tiles=16, groups_per_step=16)
                 log(f"[knn-init] {pairs_knn} pairs demanded -> pool sized "
                     f"to pairs_per_gaussian={config_knn.pairs_per_gaussian},"
                     f" group_tiles=16 (default pool would truncate to "
@@ -545,11 +657,12 @@ def main():
                 # different kernel variant: gate it before timing it
                 parity_gate_check(parity_gate_compile(
                     _dc.replace(config, group_tiles=config_knn.group_tiles,
+                                groups_per_step=config_knn.groups_per_step,
                                 accum_precision=config_knn.accum_precision)))
             wl_knn = Workload("knn-init", model_knn, config_knn)
-            wl_knn.compile_all()
+            wl_knn.compile_all(strict=False)
             if extras_allowed("knn-dense-timing"):
-                knn = wl_knn.time_all()
+                knn = wl_knn.time_all(strict=False)
                 ratio_knn, bind_knn = roofline_ratio(pairs_knn, config_knn,
                                                      knn["kernel_s"])
                 if ratio_knn is not None:
@@ -557,9 +670,12 @@ def main():
                         f"{ratio_knn:.2f}x ({bind_knn}-bound)")
                 log("[knn-init] extras summary: "
                     + json.dumps({
-                        "knn_init_step_mpix_s": round(mpix / knn["step_s"],
-                                                      2),
-                        "knn_init_fwd_mpix_s": round(mpix / knn["fwd_s"], 2),
+                        "knn_init_step_mpix_s":
+                            (round(mpix / knn["step_s"], 2)
+                             if knn["step_s"] else None),
+                        "knn_init_fwd_mpix_s":
+                            (round(mpix / knn["fwd_s"], 2)
+                             if knn["fwd_s"] else None),
                         "roofline_fwd_ratio_knn":
                             (round(ratio_knn, 3) if ratio_knn is not None
                              else None),
@@ -568,7 +684,7 @@ def main():
                             config_knn.pairs_per_gaussian,
                         "raster_kernel_ms_knn":
                             (round(knn["kernel_s"] * 1e3, 3)
-                             if knn["kernel_s"] is not None else None),
+                             if knn["kernel_s"] else None),
                     }))
         except BaseException as e:
             # the honest-dense pool is ~150x the training workload's and

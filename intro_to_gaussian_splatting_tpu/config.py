@@ -104,6 +104,14 @@ class RasterizerConfig:
     # lower the intermediate 3-pass HIGH. For dense pair streams, shrink
     # ``group_tiles`` instead: the matmul cost scales linearly with it.
     accum_precision: str = "highest"
+    # Tile groups processed per sequential Mosaic grid step. Each grid step
+    # costs ~3 us of dispatch overhead; at treehill scale (~1k groups of 64
+    # tiles) that is ~3 ms -- most of the bare kernel time. Batching
+    # amortizes it without touching the one-hot matmul shapes (whose cost
+    # scales with group_tiles, NOT with this). The group count is padded to
+    # a whole number of steps (padded groups are empty; binning keys them
+    # past the sentinel).
+    groups_per_step: int = 4
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def __post_init__(self):
@@ -116,6 +124,7 @@ class RasterizerConfig:
         assert self.alpha_clamp <= 0.9999, \
             "alpha must stay < 1 so transmittance is monotone"
         assert self.accum_precision in ("highest", "default")
+        assert self.groups_per_step >= 1
 
 
 @dataclasses.dataclass(frozen=True)

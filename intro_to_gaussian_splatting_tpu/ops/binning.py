@@ -65,6 +65,18 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def num_groups_for(num_tiles: int, config: RasterizerConfig) -> int:
+    """Tile-group count, PADDED to a whole number of rasterizer grid steps
+    (config.groups_per_step groups run per sequential Mosaic grid step to
+    amortize per-step dispatch overhead). Padded groups are empty -- their
+    pair range is [end, end) and their output block is zeros. Every
+    group-count in the pipeline (binning sentinel/boundaries, kernel grid,
+    tiled-target layouts) must use THIS count so shapes line up."""
+    ng = -(-num_tiles // config.group_tiles)
+    gps = config.groups_per_step
+    return -(-ng // gps) * gps
+
+
 @jax.custom_vjp
 def _gather_pairs(records_rank, sorted_rank, inv_perm, lo, hi):
     """Row-gather records into sorted pair order, with a gather-only VJP.
@@ -331,7 +343,7 @@ def bin_gaussians(
     # falls outside every group's [g*GT, (g+1)*GT) range, so the rasterizer
     # masks overhang lanes by segment arithmetic alone
     gt = config.group_tiles
-    num_groups = -(-num_tiles // gt)
+    num_groups = num_groups_for(num_tiles, config)
     sentinel = num_groups * gt
     tile_key = jnp.where(emitted, tile_id, sentinel).astype(jnp.int32)
 

@@ -54,7 +54,9 @@ from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
 from intro_to_gaussian_splatting_tpu.models.camera import Camera
 from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
 from intro_to_gaussian_splatting_tpu.ops import projection as P
-from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians, tile_grid
+from intro_to_gaussian_splatting_tpu.ops.binning import (
+    bin_gaussians, num_groups_for, tile_grid,
+)
 from intro_to_gaussian_splatting_tpu.ops.projection import project_gaussians
 
 # Output channels per tile pixel: [r, g, b, depth, alpha]. The channel dim
@@ -193,62 +195,73 @@ def _fwd_kernel(gs_ref, rec_hbm, out_ref, rec_vmem, sem,
     ts = config.tile_size
     chunk = config.chunk_size
     pix = ts * ts
-    g = pl.program_id(0)
-    astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
+    gps = config.groups_per_step
+    p0 = pl.program_id(0)
     px, py = _local_pixel_coords(ts)
     rows_gt = jax.lax.broadcasted_iota(jnp.int32, (gt, chunk), 0).astype(
         jnp.float32)
 
-    out_ref[0] = jnp.zeros((OUT_CHANNELS, gt, pix), jnp.float32)
+    def run_group(j):
+        """One tile group; gps of these share a grid step (and its ~3 us
+        dispatch overhead -- at treehill scale the overhead would otherwise
+        dominate the kernel)."""
+        g = p0 * gps + j
+        astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
 
-    def chunk_dma(i):
-        slot = i % 2
-        return pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
-            rec_vmem.at[slot], sem.at[slot])
+        out_ref[j] = jnp.zeros((OUT_CHANNELS, gt, pix), jnp.float32)
 
-    def body(i, carry):
-        # invariant: DMA for chunk i is in flight on entry (slot i % 2)
-        t_carry, seg_carry = carry
+        def chunk_dma(i):
+            slot = i % 2
+            return pltpu.make_async_copy(
+                rec_hbm.at[:, pl.ds(astart + i * chunk, chunk)],
+                rec_vmem.at[slot], sem.at[slot])
 
-        @pl.when(i + 1 < nchunks)
+        def body(i, carry):
+            # invariant: DMA for chunk i is in flight on entry (slot i % 2)
+            t_carry, seg_carry = carry
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                chunk_dma(i + 1).start()
+            chunk_dma(i).wait()
+            rec = rec_vmem[i % 2]                   # (16, C) feature-major
+            rec_t = jnp.swapaxes(rec, 0, 1)         # (C, 16) pair-major
+            seg, tl_row, _, inrange = _seg_state(rec, rec_t, g, gt)
+
+            _, _, _, _, a = _alpha_terms(rec_t, px, py, inrange, config)
+            one_minus = 1.0 - a
+            t_incl = seg_scan_mult(one_minus, seg)              # (C, PIX)
+            t_excl = jnp.where(seg == _shift_down_sub(seg, 1, -1.0),
+                               _shift_down_sub(t_incl, 1, 1.0), 1.0)
+            # cross-chunk carry applies only to the continuing segment
+            cont = seg == seg_carry                              # (C, 1)
+            T = t_excl * jnp.where(cont, t_carry, 1.0)
+            include = (T * one_minus >= config.t_threshold).astype(
+                jnp.float32)
+            w = T * a * include                                  # (C, PIX)
+
+            # per-tile accumulation: one-hot selector x weights, on the MXU
+            oh = (rows_gt == tl_row).astype(jnp.float32)         # (GT, C)
+            for c in range(P.NUM_PAYLOAD):
+                ohp = oh * rec[P.PAYLOAD_START + c:P.PAYLOAD_START + c + 1, :]
+                out_ref[j, c] = out_ref[j, c] + jax.lax.dot_general(
+                    ohp, w, (((1,), (0,)), ((), ())),
+                    precision=_accum_precision(config),
+                    preferred_element_type=jnp.float32)
+
+            t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
+            return (t_incl_full[chunk - 1:chunk, :], seg[chunk - 1:chunk, :])
+
+        @pl.when(nchunks > 0)
         def _():
-            chunk_dma(i + 1).start()
-        chunk_dma(i).wait()
-        rec = rec_vmem[i % 2]                       # (16, C) feature-major
-        rec_t = jnp.swapaxes(rec, 0, 1)             # (C, 16) pair-major
-        seg, tl_row, _, inrange = _seg_state(rec, rec_t, g, gt)
+            chunk_dma(0).start()
 
-        _, _, _, _, a = _alpha_terms(rec_t, px, py, inrange, config)
-        one_minus = 1.0 - a
-        t_incl = seg_scan_mult(one_minus, seg)                  # (C, PIX)
-        t_excl = jnp.where(seg == _shift_down_sub(seg, 1, -1.0),
-                           _shift_down_sub(t_incl, 1, 1.0), 1.0)
-        # cross-chunk carry applies only to the (single) continuing segment
-        cont = seg == seg_carry                                  # (C, 1)
-        T = t_excl * jnp.where(cont, t_carry, 1.0)
-        include = (T * one_minus >= config.t_threshold).astype(jnp.float32)
-        w = T * a * include                                      # (C, PIX)
+        t0 = jnp.ones((1, pix), jnp.float32)
+        seg0 = jnp.full((1, 1), -1.0, jnp.float32)
+        jax.lax.fori_loop(0, nchunks, body, (t0, seg0))
 
-        # per-tile accumulation: one-hot selector rows x weights, on the MXU
-        oh = (rows_gt == tl_row).astype(jnp.float32)             # (GT, C)
-        for c in range(P.NUM_PAYLOAD):
-            ohp = oh * rec[P.PAYLOAD_START + c:P.PAYLOAD_START + c + 1, :]
-            out_ref[0, c] = out_ref[0, c] + jax.lax.dot_general(
-                ohp, w, (((1,), (0,)), ((), ())),
-                precision=_accum_precision(config),
-                preferred_element_type=jnp.float32)
-
-        t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
-        return (t_incl_full[chunk - 1:chunk, :], seg[chunk - 1:chunk, :])
-
-    @pl.when(nchunks > 0)
-    def _():
-        chunk_dma(0).start()
-
-    t0 = jnp.ones((1, pix), jnp.float32)
-    seg0 = jnp.full((1, 1), -1.0, jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (t0, seg0))
+    for j in range(gps):
+        run_group(j)
 
 
 def _fwd_pallas(records, group_starts, num_groups: int,
@@ -256,15 +269,18 @@ def _fwd_pallas(records, group_starts, num_groups: int,
     ts = config.tile_size
     pix = ts * ts
     gt = config.group_tiles
+    gps = config.groups_per_step
+    assert num_groups % gps == 0, \
+        "num_groups must come from binning.num_groups_for (gps-padded)"
     kernel = functools.partial(_fwd_kernel, gt=gt, config=config)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_groups,),
+            grid=(num_groups // gps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, OUT_CHANNELS, gt, pix), lambda g, s: (g, 0, 0, 0),
+                (gps, OUT_CHANNELS, gt, pix), lambda g, s: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, P.NUM_REC_ROWS, config.chunk_size),
@@ -290,21 +306,35 @@ def _bwd_kernel(gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
     ts = config.tile_size
     chunk = config.chunk_size
     pix = ts * ts
-    g = pl.program_id(0)
-    astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
+    gps = config.groups_per_step
+    p0 = pl.program_id(0)
     px, py = _local_pixel_coords(ts)
     cols_gt = jax.lax.broadcasted_iota(jnp.int32, (chunk, gt), 1).astype(
         jnp.float32)
+
+    for j in range(gps):
+        _bwd_group(j, p0 * gps + j, gs_ref, rec_hbm, out_blk, g_blk,
+                   drec_hbm, rec_vmem, drec_vmem, sem_in, sem_out,
+                   sem_merge, px, py, cols_gt, gt=gt, config=config)
+
+
+def _bwd_group(j, g, gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
+               rec_vmem, drec_vmem, sem_in, sem_out, sem_merge,
+               px, py, cols_gt, *, gt: int, config: RasterizerConfig):
+    ts = config.tile_size
+    chunk = config.chunk_size
+    pix = ts * ts
+    astart, nchunks = _chunk_geometry(gs_ref, g, chunk)
 
     # u_all[tl, p] = sum_j gc[j, p] * W[j, p] over ALL pairs of tile tl
     #             = sum_c g[c, tl, p] * out[c, tl, p] (out = payload @ W)
     u_all = jnp.zeros((gt, pix), jnp.float32)
     for c in range(P.NUM_PAYLOAD):
-        u_all = u_all + g_blk[0, c] * out_blk[0, c]
+        u_all = u_all + g_blk[j, c] * out_blk[j, c]
     # one (GT, 6*PIX) matrix so the per-chunk tile-indexed rows come from a
     # single one-hot matmul instead of six
     gcat = jnp.concatenate(
-        [g_blk[0, c] for c in range(P.NUM_PAYLOAD)] + [u_all], axis=1)
+        [g_blk[j, c] for c in range(P.NUM_PAYLOAD)] + [u_all], axis=1)
 
     def in_dma(i):
         slot = i % 2
@@ -446,14 +476,17 @@ def _bwd_pallas(records, group_starts, tile_out, g_tile, num_groups: int,
     ts = config.tile_size
     pix = ts * ts
     gt = config.group_tiles
+    gps = config.groups_per_step
+    assert num_groups % gps == 0, \
+        "num_groups must come from binning.num_groups_for (gps-padded)"
     kernel = functools.partial(_bwd_kernel, gt=gt, config=config)
-    blk = pl.BlockSpec((1, OUT_CHANNELS, gt, pix), lambda g, s: (g, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((gps, OUT_CHANNELS, gt, pix),
+                       lambda g, s: (g, 0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_groups,),
+            grid=(num_groups // gps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -573,7 +606,7 @@ def image_to_tiles(img: jax.Array, config: RasterizerConfig) -> jax.Array:
     ts = config.tile_size
     gt = config.group_tiles
     ntx, nty = tile_grid(w, h, ts)
-    ng = -(-(ntx * nty) // gt)
+    ng = num_groups_for(ntx * nty, config)
     pad = jnp.pad(img, ((0, nty * ts - h), (0, ntx * ts - w), (0, 0)))
     tiles = pad.reshape(nty, ts, ntx, ts, c).transpose(0, 2, 4, 1, 3)
     tiles = tiles.reshape(nty * ntx, c, ts * ts)
@@ -611,7 +644,7 @@ def render_tiles(
         interpret = _interpret_default()
     h, w = camera.height, camera.width
     ntx, nty = tile_grid(w, h, config.tile_size)
-    num_groups = -(-(ntx * nty) // config.group_tiles)
+    num_groups = num_groups_for(ntx * nty, config)
     proj = project_gaussians(model, camera, config, active_sh_degree,
                              mean2d_offset)
     bins = bin_gaussians(proj, w, h, config)
@@ -645,7 +678,7 @@ def render_tiled(
     h, w = camera.height, camera.width
     ts = config.tile_size
     ntx, nty = tile_grid(w, h, ts)
-    num_groups = -(-(ntx * nty) // config.group_tiles)
+    num_groups = num_groups_for(ntx * nty, config)
 
     proj = project_gaussians(model, camera, config, active_sh_degree,
                              mean2d_offset)

@@ -76,12 +76,14 @@ def _untile_kernel(xp, out_ref, xv, sem, *, ntx, ts, wt, wp):
         dma(i + 1, 1 - slot).start()
     dma(i, slot).wait()
     x = xv[slot]                                    # (R*ntx, C, ts*ts)
-    pad = jnp.zeros((_R * ts, wp - wt), jnp.float32)
+    # work in PADDED tile-column space (wp // ts columns): lane offsets stay
+    # 128-aligned throughout; the pad/slice happens on sublanes (cheap)
+    ntxp = wp // ts
     for c in range(_C):
-        rows = [_merge(x[r * ntx:(r + 1) * ntx, c, :], ntx, ts)
+        rows = [_merge(jnp.pad(x[r * ntx:(r + 1) * ntx, c, :],
+                               ((0, ntxp - ntx), (0, 0))), ntxp, ts)
                 for r in range(_R)]
-        out_ref[c] = jnp.concatenate(
-            [jnp.concatenate(rows, axis=0), pad], axis=1)
+        out_ref[c] = jnp.concatenate(rows, axis=0)
 
 
 def _tile_kernel(gp, out_ref, gv, sem, *, ntx, ts, wt, wp):
@@ -104,10 +106,16 @@ def _tile_kernel(gp, out_ref, gv, sem, *, ntx, ts, wt, wp):
         dma(i + 1, 1 - slot).start()
     dma(i, slot).wait()
     g = gv[slot]                                    # (C, R*ts, Wp)
+    # split ENTIRELY in padded tile-column space (ntxp = wp/ts columns):
+    # every op stays 8/128-aligned (odd-ntx sublane slices or stores fail
+    # to lower compiled); the wrapper compacts the pad columns in XLA
+    ntxp = wp // ts
+    rows = []
     for r in range(_R):
-        chans = [_split(g[c, r * ts:(r + 1) * ts, :wt], ntx, ts)[:, None, :]
+        chans = [_split(g[c, r * ts:(r + 1) * ts, :], ntxp, ts)[:, None, :]
                  for c in range(_C)]
-        out_ref[r * ntx:(r + 1) * ntx] = jnp.concatenate(chans, axis=1)
+        rows.append(jnp.concatenate(chans, axis=1))
+    out_ref[...] = jnp.concatenate(rows, axis=0)    # (R*ntxp, C, pix)
 
 
 def _vmem_params():
@@ -148,23 +156,28 @@ def _tile_impl(g3, ng, gt, ntx, nty, ts, interpret):
     wp = ((wt + 127) // 128) * 128
     nb = -(-nty // _R)
     hp = nb * _R * ts
+    ntxp = wp // ts
     g = jnp.pad(g3, ((0, _C - 3), (0, hp - g3.shape[1]),
                      (0, wp - g3.shape[2])))
     out = pl.pallas_call(
         functools.partial(_tile_kernel, ntx=ntx, ts=ts, wt=wt, wp=wp),
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_R * ntx, _C, pix), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_R * ntxp, _C, pix), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * _R * ntx, _C, pix),
+        out_shape=jax.ShapeDtypeStruct((nb * _R * ntxp, _C, pix),
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, _C, _R * ts, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=_vmem_params(),
     )(g)
-    # the band padding may overshoot NG*GT (small scenes) or undershoot it
-    # (group padding beyond the last tile row): slice, then zero-fill
+    # compact the pad tile-columns (cotangents there are exactly zero --
+    # the image was zero-padded to wp), then restore group-major layout.
+    # The band padding may also overshoot NG*GT (small scenes) or
+    # undershoot it (group padding beyond the last tile row).
+    out = out.reshape(nb * _R, ntxp, _C, pix)[:, :ntx].reshape(
+        nb * _R * ntx, _C, pix)
     nt_total = ng * gt
     out = out[:nt_total]
     if out.shape[0] < nt_total:

@@ -39,10 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 11
 _HALO = WINDOW - 1          # 10
 # Output rows per band. Each band re-reads a _TOP-row halo, so larger bands
-# amortize halo traffic (1.25x image reads at 64 vs 2x at 16) and cut the
-# sequential grid step count 4x; 4 double-buffered (3, 96, Wp) band buffers
-# are ~24 MB VMEM at treehill width -- well inside the chip.
-_BR = 64
+# amortize halo traffic (1.125x image reads at 128 vs 2x at 16) and cut the
+# sequential grid step count; 4 double-buffered (3, 160, Wp) band buffers
+# are ~39 MB VMEM at treehill width -- inside the 100 MB limit.
+_BR = 128
 # HBM DMA row slices must be 8-aligned on TPU: the image is stored with 16
 # rows of top padding so every band's DMA starts at a multiple of 8 and
 # reads 8-divisible row counts (the 6 extra rows per band are masked).
@@ -152,13 +152,18 @@ def _fwd_kernel(xp, yp, out_ref, xv, yv, sem,
     out_ref[pl.ds(i, 1), :] = jnp.full((1, 128), acc, jnp.float32)
 
 
-def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
-                h, w, wp, c1, c2, kern, grad_target):
-    if grad_target:
-        dy_ref, xv, yv, sem = rest
-    else:
-        dy_ref = None
-        xv, yv, sem = rest
+def _bwd_kernel(g_ref, xp, yp, *rest,
+                h, w, wp, c1, c2, kern, grad_target, emit_value=False):
+    """Pixel-gradient band pass; with ``emit_value`` also accumulates the
+    per-band SSIM value partial sums into ``val_ref`` -- the moments are
+    already in registers, so the forward value comes along for ~free (ONE
+    banded pass instead of forward + backward; the training path always
+    needs both). Output refs in order: dx, [dy,] [val]."""
+    rest = list(rest)
+    dx_ref = rest.pop(0)
+    dy_ref = rest.pop(0) if grad_target else None
+    val_ref = rest.pop(0) if emit_value else None
+    xv, yv, sem = rest
     j = pl.program_id(0)
     nb = pl.num_programs(0)
     rows_in = _BR + 2 * _TOP         # local row l = real row j*BR - TOP + l
@@ -202,6 +207,13 @@ def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
     # pixel real row p = j*BR + r receives sum_k w_k tops[p - HALO + k];
     # local top index of p - HALO = r + TOP - HALO
     adj0 = _TOP - _HALO
+    if emit_value:
+        # each band OWNS the window-tops starting in its pixel rows, so the
+        # value sum counts every valid window exactly once across bands
+        vown = ((real_top >= j * _BR) & (real_top < (j + 1) * _BR)
+                & (real_top < h - _HALO)
+                & (ctop < w - _HALO)).astype(jnp.float32)
+        vacc = jnp.zeros((), jnp.float32)
 
     for c in range(3):
         x = xv[slot, c]
@@ -210,6 +222,8 @@ def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
         n1, n2, d1, d2 = _ssim_terms(X, Y, X2, Y2, XY, c1, c2)
         inv = 1.0 / (d1 * d2)
         s = n1 * n2 * inv
+        if emit_value:
+            vacc = vacc + jnp.sum(s * vown)
         # per-window partials (see module docstring)
         dX = (2.0 * Y * (n2 - n1) * inv
               - 2.0 * s * X * (1.0 / d1 - 1.0 / d2)) * tvalid
@@ -227,6 +241,8 @@ def _bwd_kernel(g_ref, xp, yp, dx_ref, *rest,
                   - 2.0 * s * Y * (1.0 / d1 - 1.0 / d2)) * tvalid
             bA_y = _vblur(_hblur(dY, kern, _HALO)[adj0:], _BR, kern)
             dy_ref[c] = g * pvalid * (bA_y + 2.0 * yc * bM2 + xc * bXY)
+    if emit_value:
+        val_ref[pl.ds(j, 1), :] = jnp.full((1, 128), vacc, jnp.float32)
 
 
 def _pad_inputs(pred, target, nb_rows: int, wp: int):
@@ -342,17 +358,109 @@ def _fused_ssim_bwd(c1, c2, interpret, grad_target, res, g):
 fused_ssim_sum.defvjp(_fused_ssim_fwd, _fused_ssim_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused value+gradient: ONE banded pass for training.
+#
+# The split fwd/bwd above runs 13 blur chains per image pair (5 forward
+# moments, then 5 recomputed moments + 3 adjoint blurs in the backward).
+# Training ALWAYS takes the gradient, so the band pass that computes the
+# pixel gradient also accumulates the value from the same in-register
+# moments: 8 blur chains total, ~40% less VPU work. The unit-cotangent
+# gradient image is saved as the VJP residual (~200 MB at treehill scale --
+# cheaper than a full recompute pass).
+# ---------------------------------------------------------------------------
+
+def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
+    """(value_sum, dx_unit, dy_unit|None) in one fused band pass."""
+    _, h, w = pred.shape
+    assert h > _HALO and w > _HALO, "image smaller than the SSIM window"
+    _, nb_b, nb_rows, wp = _grids(h, w)
+    xp, yp = _pad_inputs(pred, target, nb_rows, wp)
+    kern = _kern()
+    kernel = functools.partial(_bwd_kernel, h=h, w=w, wp=wp, c1=c1, c2=c2,
+                               kern=kern, grad_target=grad_target,
+                               emit_value=True)
+    rows_in = _BR + 2 * _TOP
+    blk = pl.BlockSpec((3, _BR, wp), lambda j: (0, j, 0),
+                       memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((3, nb_b * _BR, wp), jnp.float32)
+    # whole-array resident value block; each program writes its own row
+    vblk = pl.BlockSpec((nb_b, 128), lambda j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    vshp = jax.ShapeDtypeStruct((nb_b, 128), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb_b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(blk, blk, vblk) if grad_target else (blk, vblk),
+        out_shape=(shp, shp, vshp) if grad_target else (shp, vshp),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.ones((1, 1), jnp.float32), xp, yp)
+    if grad_target:
+        dx, dy, val = out
+        dy = dy[:, :h, :w]
+    else:
+        dx, val = out
+        dy = None
+    return jnp.sum(val[:, 0]), dx[:, :h, :w], dy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_ssim_sum_vg(pred, target, c1: float = 0.01 ** 2,
+                      c2: float = 0.03 ** 2, interpret: bool | None = None,
+                      grad_target: bool = True):
+    """Like fused_ssim_sum, but the forward already computes (and stores)
+    the pixel gradient -- use on paths that ALWAYS differentiate."""
+    s, _ = _vg_fwd(pred, target, c1, c2, interpret, grad_target)
+    return s
+
+
+def _vg_fwd(pred, target, c1, c2, interpret, grad_target):
+    if interpret is None:
+        interpret = _interp_default()
+    s, dx, dy = _ssim_vg_pallas(pred, target, c1, c2, interpret,
+                                grad_target)
+    return s, (dx, dy, target)
+
+
+def _vg_bwd(c1, c2, interpret, grad_target, res, g):
+    dx, dy, target = res
+    if grad_target:
+        return g * dx, g * dy
+    return g * dx, jnp.zeros_like(target)
+
+
+fused_ssim_sum_vg.defvjp(_vg_fwd, _vg_bwd)
+
+
 def fused_ssim(pred_chw: jax.Array, target_chw: jax.Array,
                c1: float = 0.01 ** 2, c2: float = 0.03 ** 2,
                interpret: bool | None = None,
-               grad_target: bool = True) -> jax.Array:
+               grad_target: bool = True,
+               precompute_grad: bool = False) -> jax.Array:
     """Mean SSIM over channel-major (3, H, W) images -- fused Pallas path.
 
     Numerically equivalent to train.loss.ssim_chw (same gaussian window,
     sigma=1.5); measured 19x (fwd) / 11x (fwd+bwd) faster at treehill scale
     on v5e. Pass grad_target=False when the target is a constant.
+    ``precompute_grad=True`` runs the single fused value+gradient band pass
+    (8 blur chains instead of 13) and stores the unit pixel gradient as the
+    VJP residual -- the right choice on paths that always differentiate
+    (training); leave False for forward-only evaluation.
     """
     _, h, w = pred_chw.shape
     count = 3.0 * (h - _HALO) * (w - _HALO)
-    return fused_ssim_sum(pred_chw, target_chw, c1, c2, interpret,
-                          grad_target) / count
+    op = fused_ssim_sum_vg if precompute_grad else fused_ssim_sum
+    return op(pred_chw, target_chw, c1, c2, interpret, grad_target) / count

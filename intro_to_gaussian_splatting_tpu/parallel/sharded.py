@@ -53,7 +53,9 @@ from intro_to_gaussian_splatting_tpu.config import RasterizerConfig, TrainConfig
 from intro_to_gaussian_splatting_tpu.models.camera import Camera
 from intro_to_gaussian_splatting_tpu.models.gaussians import GaussianModel
 from intro_to_gaussian_splatting_tpu.ops import projection as P
-from intro_to_gaussian_splatting_tpu.ops.binning import bin_gaussians, tile_grid
+from intro_to_gaussian_splatting_tpu.ops.binning import (
+    bin_gaussians, num_groups_for, tile_grid,
+)
 from intro_to_gaussian_splatting_tpu.ops.projection import (
     pack_records,
     project_gaussians,
@@ -177,7 +179,7 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     ntx, nty_local = tile_grid(width, strip_rows, ts)
     num_tiles = ntx * nty_local
     gt = rcfg.group_tiles
-    num_groups = -(-num_tiles // gt)
+    num_groups = num_groups_for(num_tiles, rcfg)
     sentinel = float(num_groups * gt)
     mp = max_pairs_local
     g_size = jax.lax.axis_size(GAUSS_AXIS)
@@ -331,7 +333,7 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
     w = camera.width
     ts = rcfg.tile_size
     ntx, nty_local = tile_grid(w, strip_rows, ts)
-    num_groups = -(-(ntx * nty_local) // rcfg.group_tiles)
+    num_groups = num_groups_for(ntx * nty_local, rcfg)
 
     proj = project_gaussians(model_shard, camera, rcfg, active_sh_degree,
                              mean2d_offset)
@@ -426,7 +428,9 @@ def _next_strip_halo(x: jax.Array, rows: int) -> jax.Array:
 def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
                     rcfg: RasterizerConfig, ssim_weight: float,
                     active_sh_degree: Optional[int], interpret: bool,
-                    height: int, ring: bool = True):
+                    height: int, ring: bool = True,
+                    max_pairs_local: Optional[int] = None,
+                    hop_pairs: Optional[int] = None):
     """Builds loss(params, probe, target_padded) ->
     (replicated scalar, aux dict).
 
@@ -450,7 +454,8 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
                                              **params_shard)
         strip, overflowed, visible = _render_strip(
             model_shard, cam, rcfg, strip_rows, active_sh_degree, interpret,
-            ring=ring, mean2d_offset=probe_shard)
+            ring=ring, mean2d_offset=probe_shard,
+            max_pairs_local=max_pairs_local, hop_pairs=hop_pairs)
         strip = strip[..., :3]
         # mask rows beyond the true image height
         row0 = _strip_index() * strip_rows
@@ -517,7 +522,7 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "tcfg", "tx", "mesh", "active_sh_degree",
-                     "interpret", "ring"))
+                     "interpret", "ring", "max_pairs_local", "hop_pairs"))
 def sharded_train_step(
     model: GaussianModel,
     opt_state,
@@ -531,6 +536,8 @@ def sharded_train_step(
     active_sh_degree: int = 0,
     interpret: Optional[bool] = None,
     ring: bool = True,
+    max_pairs_local: Optional[int] = None,
+    hop_pairs: Optional[int] = None,
 ):
     """One sharded optimization step -- the FULL 3DGS recipe (probe
     gradients feed `dstate` for densify/prune, exactly as the single-chip
@@ -543,7 +550,8 @@ def sharded_train_step(
         interpret = _interpret_default()
     loss_fn, _ = sharded_loss_fn(
         model, camera, mesh, rcfg, tcfg.ssim_weight, active_sh_degree,
-        interpret, camera.height, ring=ring)
+        interpret, camera.height, ring=ring,
+        max_pairs_local=max_pairs_local, hop_pairs=hop_pairs)
     params = model.params()
     probe = jnp.zeros((model.capacity, 2), jnp.float32)
     (loss, aux), grads = jax.value_and_grad(

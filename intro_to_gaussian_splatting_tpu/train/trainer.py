@@ -137,7 +137,8 @@ def train_step(
             loss = ((1.0 - tcfg.ssim_weight) * loss
                     + tcfg.ssim_weight
                     * (1.0 - fused_ssim(img, target_image,
-                                        grad_target=False)))
+                                        grad_target=False,
+                                        precompute_grad=True)))
         return loss, (tiles, aux)
 
     (loss, (tiles, aux)), grads = jax.value_and_grad(

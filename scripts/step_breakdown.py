@@ -41,7 +41,7 @@ def main():
         init_from_points,
     )
     from intro_to_gaussian_splatting_tpu.ops.binning import (
-        bin_gaussians, tile_grid,
+        bin_gaussians, num_groups_for, tile_grid,
     )
     from intro_to_gaussian_splatting_tpu.ops.projection import (
         project_gaussians,
@@ -77,7 +77,7 @@ def main():
     tcfg = TrainConfig()
     ts = cfg.tile_size
     ntx, nty = tile_grid(width, height, ts)
-    num_groups = -(-(ntx * nty) // cfg.group_tiles)
+    num_groups = num_groups_for(ntx * nty, cfg)
     model = init_from_points(xyz, rgb)   # ref init (bench headline workload)
 
     yy = np.linspace(0, 1, height, dtype=np.float32)[:, None, None]

@@ -86,3 +86,30 @@ def test_gradient_against_finite_differences():
         e = jnp.zeros_like(a).at[c, i, j].set(eps)
         fd = (f(a + e) - f(a - e)) / (2 * eps)
         np.testing.assert_allclose(g[c, i, j], fd, rtol=5e-2, atol=3e-5)
+
+
+@pytest.mark.parametrize("h,w", [(32, 48), (77, 131), (150, 140)])
+@pytest.mark.parametrize("grad_target", [False, True])
+def test_precompute_grad_matches_split_path(h, w, grad_target):
+    """The fused value+gradient band pass (precompute_grad=True, what
+    training uses) must agree with the split fwd/bwd path in value AND
+    gradients for both inputs."""
+    a, b = _imgs(h, w, seed=9)
+
+    def f_split(a, b):
+        return fused_ssim(a, b, interpret=True, grad_target=grad_target)
+
+    def f_fused(a, b):
+        return fused_ssim(a, b, interpret=True, grad_target=grad_target,
+                          precompute_grad=True)
+
+    v1, (ga1, gb1) = jax.value_and_grad(f_split, argnums=(0, 1))(a, b)
+    v2, (ga2, gb2) = jax.value_and_grad(f_fused, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ga2), np.asarray(ga1),
+                               rtol=1e-5, atol=1e-7)
+    if grad_target:
+        np.testing.assert_allclose(np.asarray(gb2), np.asarray(gb1),
+                                   rtol=1e-5, atol=1e-7)
+    else:
+        assert np.all(np.asarray(gb2) == 0.0)

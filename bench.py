@@ -642,17 +642,27 @@ def main():
             pairs_knn = pair_demand(model_knn, "knn-init")
             config_knn = config
             if pairs_knn is not None:
-                ppg = -(-int(pairs_knn * 1.05) // n_gauss)
+                # The training STEP at the full ~29M-pair demand exceeds the
+                # chip's HLO-temp ceiling (fwd + cotangent record streams +
+                # backward sorts). Cap the pool at ~16M pairs: enough to be
+                # honest about density (the default pool truncates to 0.7%
+                # of demand; this keeps >50%, far tail dropped per the pool
+                # policy) while the full step still compiles and runs.
+                pair_cap = 16 << 20
+                ppg = -(-min(int(pairs_knn * 1.05), pair_cap) // n_gauss)
                 # small groups cut the one-hot matmul cost that dominates at
                 # this density; batch more of them per grid step so the
                 # sequential step overhead (~3us) stays amortized
                 config_knn = _dc.replace(config,
                                          pairs_per_gaussian=max(ppg, 4),
                                          group_tiles=16, groups_per_step=16)
-                log(f"[knn-init] {pairs_knn} pairs demanded -> pool sized "
-                    f"to pairs_per_gaussian={config_knn.pairs_per_gaussian},"
-                    f" group_tiles=16 (default pool would truncate to "
-                    f"{config.pairs_per_gaussian * n_gauss})")
+                pool = config_knn.pairs_per_gaussian * n_gauss
+                log(f"[knn-init] {pairs_knn} pairs demanded -> pool "
+                    f"pairs_per_gaussian={config_knn.pairs_per_gaussian} "
+                    f"({min(100.0, 100.0 * pool / pairs_knn):.0f}% of "
+                    f"demand; far tail beyond that dropped), group_tiles=16 "
+                    f"(the default pool would keep only "
+                    f"{100.0 * config.pairs_per_gaussian * n_gauss / pairs_knn:.1f}%)")
             if config_knn is not config and backend == "tpu":
                 # different kernel variant: gate it before timing it
                 parity_gate_check(parity_gate_compile(

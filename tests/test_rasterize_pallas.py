@@ -236,3 +236,34 @@ def test_feature_major_gather_path_matches(monkeypatch):
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
                                    rtol=1e-5, atol=1e-7,
                                    err_msg=f"fm-path grad mismatch: {k}")
+
+
+@pytest.mark.parametrize("gps", [1, 3, 4])
+def test_groups_per_step_batching_is_exact(gps):
+    """Batching several tile groups into one sequential grid step
+    (config.groups_per_step, padding the group count) must not change the
+    rendered image or the gradients at all -- including a gps that does
+    NOT divide the natural group count."""
+    import dataclasses
+
+    raw, cam, model = small_scene(n=100, width=64, height=48, seed=23,
+                                  scale_hi=0.3, opacity_hi=4.0)
+    target = jnp.asarray(
+        np.linspace(0, 1, 48 * 64 * 3, dtype=np.float32).reshape(48, 64, 3))
+
+    def run(cfg):
+        def loss(params):
+            img = render_tiled(model.replace(**params), cam, cfg,
+                               interpret=True)
+            return jnp.mean(jnp.abs(img - target)), img
+        (l, img), g = jax.value_and_grad(loss, has_aux=True)(model.params())
+        return l, img, g
+
+    base = dataclasses.replace(CFG, groups_per_step=1)
+    l0, img0, g0 = run(base)
+    l1, img1, g1 = run(dataclasses.replace(CFG, groups_per_step=gps))
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=0, atol=0)
+    for k in g0:
+        np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g0[k]),
+                                      err_msg=f"gps={gps} grad: {k}")

@@ -39,10 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 11
 _HALO = WINDOW - 1          # 10
 # Output rows per band. Each band re-reads a _TOP-row halo, so larger bands
-# amortize halo traffic (1.125x image reads at 128 vs 2x at 16) and cut the
-# sequential grid step count; 4 double-buffered (3, 160, Wp) band buffers
-# are ~39 MB VMEM at treehill width -- inside the 100 MB limit.
-_BR = 128
+# amortize halo traffic (1.25x image reads at 64 vs 2x at 16) and cut the
+# sequential grid step count; 4 double-buffered (3, 96, Wp) band buffers
+# are ~24 MB VMEM at treehill width -- well inside the chip. (_BR = 128
+# compiles ~5x slower in Mosaic with no measured runtime win; keep 64.)
+_BR = 64
 # HBM DMA row slices must be 8-aligned on TPU: the image is stored with 16
 # rows of top padding so every band's DMA starts at a multiple of 8 and
 # reads 8-divisible row counts (the 6 extra rows per band are masked).
@@ -242,7 +243,10 @@ def _bwd_kernel(g_ref, xp, yp, *rest,
             bA_y = _vblur(_hblur(dY, kern, _HALO)[adj0:], _BR, kern)
             dy_ref[c] = g * pvalid * (bA_y + 2.0 * yc * bM2 + xc * bXY)
     if emit_value:
-        val_ref[pl.ds(j, 1), :] = jnp.full((1, 128), vacc, jnp.float32)
+        # own (1, 8, 128) block per band: standard pipelined output (a
+        # whole-array resident block mixed with the banded dx outputs made
+        # the Mosaic compile blow up combinatorially with the band count)
+        val_ref[...] = jnp.full((1, 8, 128), vacc, jnp.float32)
 
 
 def _pad_inputs(pred, target, nb_rows: int, wp: int):
@@ -384,10 +388,9 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
     blk = pl.BlockSpec((3, _BR, wp), lambda j: (0, j, 0),
                        memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((3, nb_b * _BR, wp), jnp.float32)
-    # whole-array resident value block; each program writes its own row
-    vblk = pl.BlockSpec((nb_b, 128), lambda j: (0, 0),
+    vblk = pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0),
                         memory_space=pltpu.VMEM)
-    vshp = jax.ShapeDtypeStruct((nb_b, 128), jnp.float32)
+    vshp = jax.ShapeDtypeStruct((nb_b, 8, 128), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(nb_b,),
@@ -414,7 +417,7 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
     else:
         dx, val = out
         dy = None
-    return jnp.sum(val[:, 0]), dx[:, :h, :w], dy
+    return jnp.sum(val[:, 0, 0]), dx[:, :h, :w], dy
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -457,8 +460,11 @@ def fused_ssim(pred_chw: jax.Array, target_chw: jax.Array,
     on v5e. Pass grad_target=False when the target is a constant.
     ``precompute_grad=True`` runs the single fused value+gradient band pass
     (8 blur chains instead of 13) and stores the unit pixel gradient as the
-    VJP residual -- the right choice on paths that always differentiate
-    (training); leave False for forward-only evaluation.
+    VJP residual. CAVEAT: the three-output kernel's Mosaic compile time
+    grows pathologically with image size on the current toolchain (>10 min
+    at treehill resolution vs ~1 min for the split path), so the trainer
+    keeps the split default; the fused path is tested and available for
+    toolchains where the compile is sane.
     """
     _, h, w = pred_chw.shape
     count = 3.0 * (h - _HALO) * (w - _HALO)

@@ -134,11 +134,15 @@ def train_step(
                     import untile_chw_fast
                 img = untile_chw_fast(tiles[:, :4], ntx, nty, ts, h, w,
                                       False)
+            # NOTE: fused_ssim(precompute_grad=True) would save one band
+            # pass (~5 ms/step at treehill scale) but its Mosaic compile
+            # time at full resolution is pathological (>10 min vs ~1 min
+            # for the split path); the split fwd/bwd is the default until
+            # the toolchain handles the 3-output kernel better.
             loss = ((1.0 - tcfg.ssim_weight) * loss
                     + tcfg.ssim_weight
                     * (1.0 - fused_ssim(img, target_image,
-                                        grad_target=False,
-                                        precompute_grad=True)))
+                                        grad_target=False)))
         return loss, (tiles, aux)
 
     (loss, (tiles, aux)), grads = jax.value_and_grad(

@@ -163,7 +163,6 @@ def _bwd_kernel(g_ref, xp, yp, *rest,
     rest = list(rest)
     dx_ref = rest.pop(0)
     dy_ref = rest.pop(0) if grad_target else None
-    val_ref = rest.pop(0) if emit_value else None
     xv, yv, sem = rest
     j = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -243,10 +242,12 @@ def _bwd_kernel(g_ref, xp, yp, *rest,
             bA_y = _vblur(_hblur(dY, kern, _HALO)[adj0:], _BR, kern)
             dy_ref[c] = g * pvalid * (bA_y + 2.0 * yc * bM2 + xc * bXY)
     if emit_value:
-        # own (1, 8, 128) block per band: standard pipelined output (a
-        # whole-array resident block mixed with the banded dx outputs made
-        # the Mosaic compile blow up combinatorially with the band count)
-        val_ref[...] = jnp.full((1, 8, 128), vacc, jnp.float32)
+        # stash the band's value partial in the dx image's PAD lane block
+        # (the wrapper widens wp by 128 so lanes [wp-128, wp) are always
+        # past the true width): same two-output structure as the plain
+        # backward -- a third output or a whole-array-resident value block
+        # both made the Mosaic compile time blow up with the band count
+        dx_ref[0, 0:8, wp - 128:] = jnp.full((8, 128), vacc, jnp.float32)
 
 
 def _pad_inputs(pred, target, nb_rows: int, wp: int):
@@ -379,6 +380,7 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
     _, h, w = pred.shape
     assert h > _HALO and w > _HALO, "image smaller than the SSIM window"
     _, nb_b, nb_rows, wp = _grids(h, w)
+    wp = wp + 128     # guaranteed pad lane block to carry the value partials
     xp, yp = _pad_inputs(pred, target, nb_rows, wp)
     kern = _kern()
     kernel = functools.partial(_bwd_kernel, h=h, w=w, wp=wp, c1=c1, c2=c2,
@@ -388,9 +390,6 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
     blk = pl.BlockSpec((3, _BR, wp), lambda j: (0, j, 0),
                        memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((3, nb_b * _BR, wp), jnp.float32)
-    vblk = pl.BlockSpec((1, 8, 128), lambda j: (j, 0, 0),
-                        memory_space=pltpu.VMEM)
-    vshp = jax.ShapeDtypeStruct((nb_b, 8, 128), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(nb_b,),
@@ -399,8 +398,8 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(blk, blk, vblk) if grad_target else (blk, vblk),
-        out_shape=(shp, shp, vshp) if grad_target else (shp, vshp),
+        out_specs=(blk, blk) if grad_target else (blk,),
+        out_shape=(shp, shp) if grad_target else (shp,),
         scratch_shapes=[
             pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
             pltpu.VMEM((2, 3, rows_in, wp), jnp.float32),
@@ -411,13 +410,10 @@ def _ssim_vg_pallas(pred, target, c1, c2, interpret, grad_target):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.ones((1, 1), jnp.float32), xp, yp)
-    if grad_target:
-        dx, dy, val = out
-        dy = dy[:, :h, :w]
-    else:
-        dx, val = out
-        dy = None
-    return jnp.sum(val[:, 0, 0]), dx[:, :h, :w], dy
+    dx = out[0]
+    dy = out[1][:, :h, :w] if grad_target else None
+    val = jnp.sum(dx[0, ::_BR, wp - 128])
+    return val, dx[:, :h, :w], dy
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

@@ -52,11 +52,23 @@ def write_ppm(path: str, img: np.ndarray) -> None:
         f.write(arr.tobytes())
 
 
+def _rcfg_for(args):
+    """RasterizerConfig from common CLI flags (incl. reference-compat)."""
+    from intro_to_gaussian_splatting_tpu.config import (
+        CompatConfig, RasterizerConfig,
+    )
+    compat = {
+        "default": CompatConfig(),
+        "reference-cpu": CompatConfig.REFERENCE_CPU,
+        "reference-cuda": CompatConfig.REFERENCE_CUDA,
+    }[getattr(args, "compat", "default")]
+    return RasterizerConfig(tile_size=args.tile_size, compat=compat)
+
+
 def cmd_render(args) -> int:
-    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
     from intro_to_gaussian_splatting_tpu.ops.render import render
     model, cam, points, _ = _load(args)
-    config = RasterizerConfig(tile_size=args.tile_size)
+    config = _rcfg_for(args)
     t0 = time.time()
     img = np.asarray(render(model, cam, config, backend=args.backend))
     dt = time.time() - t0
@@ -98,11 +110,10 @@ def cmd_points(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
     from intro_to_gaussian_splatting_tpu.ops.render import render
     from intro_to_gaussian_splatting_tpu.utils.profiling import benchmark
     model, cam, points, _ = _load(args)
-    config = RasterizerConfig(tile_size=args.tile_size)
+    config = _rcfg_for(args)
     res = benchmark(render, model, cam, config, backend=args.backend,
                     iters=args.iters)
     print(f"{cam.width}x{cam.height}, {len(points)} gaussians, "
@@ -226,6 +237,12 @@ def main(argv=None) -> int:
     p.add_argument("--output", "-o", default="render.ppm")
     p.add_argument("--tile-size", type=int, default=16)
     p.add_argument("--backend", choices=["auto", "dense", "pallas"], default="auto")
+    p.add_argument("--compat",
+                   choices=["default", "reference-cpu", "reference-cuda"],
+                   default="default",
+                   help="reproduce the reference implementation's quirks "
+                        "bit-for-bit (double sigmoid, skipped last tile, "
+                        "inclusive overlap / pixel bbox test)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("points", help="point-projection sanity render")
@@ -241,6 +258,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="time the renderer on a scene view")
     _add_scene_args(p)
     p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--compat",
+                   choices=["default", "reference-cpu", "reference-cuda"],
+                   default="default")
     p.add_argument("--backend", choices=["auto", "dense", "pallas"], default="auto")
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_bench)

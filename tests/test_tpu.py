@@ -39,10 +39,14 @@ pytestmark = pytest.mark.skipif(
 # 64; ~2k gaussians with generous scales produce a dense pair stream many
 # chunks long, so cross-chunk transmittance carry, group overhang lanes,
 # and the double-buffered DMA paths are all exercised compiled.
-CFG = RasterizerConfig()
+# pairs_per_gaussian sized for THIS scene (demands ~32k pairs; the default
+# 4*N pool would overflow and drop far gaussians, so the pallas image would
+# legitimately differ from the drop-free dense oracle)
+CFG = RasterizerConfig(pairs_per_gaussian=32)
 # The dense-workload variant bench.py publishes numbers for: small tile
 # groups (one-hot matmul cost scales with group_tiles); same tolerances.
-CFG_DENSE = RasterizerConfig(group_tiles=16)
+CFG_DENSE = RasterizerConfig(pairs_per_gaussian=32, group_tiles=16,
+                             groups_per_step=16)
 W, H, N = 512, 384, 2000
 
 

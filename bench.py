@@ -488,11 +488,49 @@ def main():
     pairs_ref = pair_demand(model_ref, "ref-init")
     log(f"[ref-init] pair demand (CPU count): {pairs_ref}")
 
+    def make_l1_runner():
+        """L1-only train step (ssim_weight=0): the r02-comparable workload
+        (r02's 970.7 Mpix/s predates the SSIM term in the headline step)."""
+        import dataclasses as _dc0
+        tcfg_l1 = _dc0.replace(tcfg, ssim_weight=0.0)
+        tx = make_optimizer(tcfg_l1, 10.0)
+        opt_state = tx.init(model_ref.params())
+        dstate = D.DensifyState.zero(model_ref.capacity)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def chain(model, opt_state, dstate, cam, tt, tm, n, cfg):
+            def body(i, carry):
+                m, o, d = carry
+                m, o, d, _ = train_step(m, o, d, cam, tt, tm, None,
+                                        cfg, tcfg_l1, tx, 0)
+                return (m, o, d)
+            return jax.lax.fori_loop(0, n, body,
+                                     (model, opt_state, dstate))
+
+        def run(n):
+            out = chain(model_ref, opt_state, dstate, cam, target_tiles,
+                        target_mask, jnp.int32(n), config)
+            return host_fetch_scalar(out[0].means[0, 0])
+        return run
+
     # ================= phase 2: gate, then time, then PUBLISH ===========
     join_warm()
     parity_gate_check(gate_compiled)
     log("phase 2: timing ref-init workload ...")
     ref = wl_ref.time_all()
+    # the r02-comparable number rides IN the headline JSON when the budget
+    # allows its (one extra) compile; otherwise it lands in stderr extras
+    l1_s = None
+    if elapsed() < EXTRA_STAGE_DEADLINE - 200:
+        try:
+            run_l1 = make_l1_runner()
+            log("[l1-step] compiling L1-only train step ...")
+            run_l1(1)
+            l1_s = paired(run_l1, "l1-step", "step")
+            log(f"[l1-step] L1-only train step {l1_s*1e3:.1f} ms "
+                f"({mpix/l1_s:.1f} Mpix/s) -- r02-comparable workload")
+        except Exception as e:
+            log(f"[l1-step] FAILED pre-headline ({type(e).__name__}: {e})")
     ratio_ref, bind_ref = roofline_ratio(pairs_ref, config, ref["kernel_s"])
     if ratio_ref is not None:
         log(f"roofline (bare raster kernel vs analytic bound, v5e): "
@@ -514,6 +552,7 @@ def main():
         "raster_kernel_ms_ref": (round(ref["kernel_s"] * 1e3, 3)
                                  if ref["kernel_s"] is not None else None),
         "ref_pairs": pairs_ref,
+        "l1_step_mpix_s": (round(mpix / l1_s, 2) if l1_s else None),
         "parity_gate": "pass" if backend == "tpu" else "n/a (interpret)",
     }
     print(json.dumps(result), flush=True)
@@ -589,35 +628,10 @@ def main():
         except Exception as e:
             log(f"[relayout-gate] FAILED ({type(e).__name__}: {e})")
 
-    # L1-only train step (ssim_weight=0): the r02-comparable number (r02's
-    # 970.7 Mpix/s predates the SSIM term in the headline step)
-    if extras_allowed("l1-step"):
+    # fallback: pre-headline budget was too tight for the extra compile
+    if l1_s is None and extras_allowed("l1-step"):
         try:
-            import dataclasses as _dc0
-            tcfg_l1 = _dc0.replace(tcfg, ssim_weight=0.0)
-
-            def make_l1_chain():
-                tx = make_optimizer(tcfg_l1, 10.0)
-                opt_state = tx.init(model_ref.params())
-                dstate = D.DensifyState.zero(model_ref.capacity)
-
-                @functools.partial(jax.jit, static_argnames=("cfg",))
-                def chain(model, opt_state, dstate, cam, tt, tm, n, cfg):
-                    def body(i, carry):
-                        m, o, d = carry
-                        m, o, d, _ = train_step(m, o, d, cam, tt, tm, None,
-                                                cfg, tcfg_l1, tx, 0)
-                        return (m, o, d)
-                    return jax.lax.fori_loop(0, n, body,
-                                             (model, opt_state, dstate))
-
-                def run(n):
-                    out = chain(model_ref, opt_state, dstate, cam,
-                                target_tiles, target_mask, jnp.int32(n),
-                                config)
-                    return host_fetch_scalar(out[0].means[0, 0])
-                return run
-            run_l1 = make_l1_chain()
+            run_l1 = make_l1_runner()
             log("[l1-step] compiling L1-only train step ...")
             run_l1(1)
             l1_s = paired(run_l1, "l1-step", "step")

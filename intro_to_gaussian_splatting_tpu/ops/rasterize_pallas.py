@@ -687,9 +687,19 @@ def render_tiled(
         bins.pair_records, bins.group_starts, num_groups, config, interpret)
     # untile only the channels consumed: the relayout moves ~32 bytes/pixel,
     # a large share of the forward HBM traffic at treehill scale
-    nchan = OUT_CHANNELS if return_aux else 3
-    full = untile(tile_out[:, :nchan], ntx, nty, ts, h, w)
-    image = full[..., :3]
+    if not return_aux and not interpret:
+        # hot render path: Pallas transpose-chain relayout + one (3,H,W) ->
+        # (H,W,3) transpose -- 5.8 ms vs 18 ms for the XLA untile at
+        # treehill scale (bit-identical; relayout gate + tests)
+        from intro_to_gaussian_splatting_tpu.ops.relayout_pallas import (
+            untile_chw_fast,
+        )
+        chw = untile_chw_fast(tile_out[:, :4], ntx, nty, ts, h, w, False)
+        image = jnp.transpose(chw, (1, 2, 0))
+    else:
+        nchan = OUT_CHANNELS if return_aux else 3
+        full = untile(tile_out[:, :nchan], ntx, nty, ts, h, w)
+        image = full[..., :3]
     if config.compat.skip_last_tile:
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

@@ -133,3 +133,20 @@ def test_ply_extra_properties(tmp_path):
     data = read_ply(path)
     np.testing.assert_array_equal(data["opacity"], extra["opacity"])
     np.testing.assert_array_equal(data["f_dc_2"], extra["f_dc"][:, 2])
+
+
+def test_load_scene_accepts_sparse_dir_directly(tmp_path):
+    """Passing <scene>/sparse/0 (or <scene>/sparse) as the scene dir must
+    still find <scene>/images -- the image root is derived by walking up
+    from the RESOLVED sparse dir, not from the argument as given."""
+    from intro_to_gaussian_splatting_tpu.io.dataset import load_scene
+    from intro_to_gaussian_splatting_tpu.io.synthetic import make_colmap_scene
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, num_points=120, num_cameras=2, width=48,
+                      height=32, seed=2, write_images=True)
+    for arg in (root, root + "/sparse", root + "/sparse/0"):
+        scene = load_scene(arg)
+        assert len(scene.cameras) == 2, arg
+        assert all(t is not None for t in scene.targets), arg
+        assert scene.targets[0].shape == (32, 48, 3)

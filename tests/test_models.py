@@ -158,3 +158,35 @@ def test_sh_degree1_view_dependence(rng):
     o1 = np.asarray(eval_sh(sh, d1, 1))
     o2 = np.asarray(eval_sh(sh, d2, 1))
     assert not np.allclose(o1, o2)
+
+
+def test_world2view_recentered_matches_reference(splat, rng):
+    """world2view_recentered vs the reference's getWorld2View2
+    (splat/utils.py:175-186): same recompose-invert-shift-scale-invert
+    math, including v2's R-transpose quirk."""
+    import torch
+
+    from intro_to_gaussian_splatting_tpu.models.camera import (
+        quat_to_rotmat, world2view_recentered,
+    )
+
+    q = rng.normal(size=4)
+    R = quat_to_rotmat(q)
+    t = rng.normal(size=3)
+    translate = rng.normal(size=3)
+    scale = 1.7
+    got = world2view_recentered(R, t, translate=translate, scale=scale)
+    want = splat.utils.getWorld2View2(
+        torch.tensor(R, dtype=torch.float32),
+        torch.tensor(t, dtype=torch.float32),
+        translate=torch.tensor(translate, dtype=torch.float32),
+        scale=scale).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # identity transform reduces to the plain [R^T | t] recomposition
+    plain = world2view_recentered(R, t)
+    rt = np.zeros((4, 4))
+    rt[:3, :3] = R.T
+    rt[:3, 3] = t
+    rt[3, 3] = 1.0
+    np.testing.assert_allclose(plain, rt, atol=1e-10)

@@ -292,3 +292,41 @@ def test_ring_probe_grads_match_allgather(mesh):
             argnums=1)(smodel.params(), probe)
     np.testing.assert_allclose(np.asarray(out[True]), np.asarray(out[False]),
                                rtol=2e-3, atol=1e-7)
+
+
+def test_trainer_mesh_checkpoint_resume(mesh, tmp_path):
+    """Failure recovery on the SHARDED path: a mesh Trainer checkpoints,
+    a fresh mesh Trainer resumes (restored arrays re-sharded onto the
+    gauss axis), and training continues from the restored step with a
+    finite, comparable loss."""
+    from intro_to_gaussian_splatting_tpu.config import TrainConfig
+    from intro_to_gaussian_splatting_tpu.train.trainer import Trainer
+
+    raw, cam, true_model = _scene(n=64, width=32, height=32, seed=47)
+    target = np.asarray(render_tiled(true_model, cam, RCFG, interpret=True))
+    key = jax.random.PRNGKey(3)
+    noisy = true_model.replace(
+        sh=true_model.sh + 0.4 * jax.random.normal(key, true_model.sh.shape))
+
+    tcfg = TrainConfig(ssim_weight=0.0, checkpoint_every=4,
+                       densify_start=10**9, opacity_reset_interval=0)
+    ckpt = str(tmp_path / "ck")
+    tr1 = Trainer(model=noisy, cameras=[cam], targets=[target],
+                  scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=2,
+                  mesh=mesh, checkpoint_dir=ckpt)
+    h1 = tr1.run(8)
+    assert tr1.step == 8
+
+    tr2 = Trainer(model=noisy, cameras=[cam], targets=[target],
+                  scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=2,
+                  mesh=mesh, checkpoint_dir=ckpt)
+    restored = tr2.resume()
+    assert restored == 8
+    # restored model equals the checkpointed one
+    np.testing.assert_allclose(np.asarray(tr2.model.means),
+                               np.asarray(tr1.model.means), atol=1e-6)
+    h2 = tr2.run(4)
+    assert tr2.step == 12
+    assert np.isfinite(h2[-1]["loss"])
+    # optimization continues sanely from the restore point
+    assert h2[-1]["loss"] < h1[0]["loss"] * 1.05

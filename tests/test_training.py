@@ -194,3 +194,27 @@ def test_ply_export_import_roundtrip(tmp_path):
                                np.asarray(model.sh), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(back.quats),
                                np.asarray(model.quats), rtol=1e-6)
+
+
+def test_evaluate_reports_pair_pool_overflow():
+    """evaluate() must surface per-view pair-pool overflow (a densified
+    model scored with a too-small pool silently deflates PSNR/SSIM
+    otherwise -- gstpu eval prints a loud warning from this field)."""
+    import dataclasses
+
+    from intro_to_gaussian_splatting_tpu.config import RasterizerConfig
+    from intro_to_gaussian_splatting_tpu.train.evaluate import evaluate
+    from tests.scenes import small_scene
+
+    _, cam, model = small_scene(n=200, width=64, height=48, seed=7,
+                                scale_lo=0.05, scale_hi=0.4, opacity_hi=4.0)
+    target = np.zeros((48, 64, 3), np.float32)
+
+    tiny = dataclasses.replace(RasterizerConfig(), pairs_per_gaussian=1)
+    rows = evaluate(model, [cam], [target], tiny)
+    assert rows[0]["overflowed"] is True
+
+    big = dataclasses.replace(RasterizerConfig(), pairs_per_gaussian=64)
+    rows = evaluate(model, [cam], [target], big)
+    assert rows[0]["overflowed"] is False
+    assert np.isfinite(rows[0]["psnr"])

@@ -82,15 +82,16 @@ def load_scene(scene_dir: str, downscale: int = 1, min_track: int = 2,
 
     if image_dir is None:
         # the model may live at <scene>/sparse/0; images are a sibling of
-        # sparse/, i.e. under the scene root -- walk up from the resolved
-        # sparse dir past any trailing numeric part and the "sparse"
-        # component so passing <scene>, <scene>/sparse or <scene>/sparse/0
-        # as scene_dir all find <scene>/images
+        # sparse/, i.e. under the scene root. Numeric components are only
+        # stripped when they sit under a "sparse" dir -- a scene whose OWN
+        # directory name is numeric (e.g. /data/360 holding cameras.bin
+        # directly) must keep its images at <scene>/images, not the parent's
         root = os.path.normpath(sparse)
-        while os.path.basename(root).isdigit():
-            root = os.path.dirname(root)
-        if os.path.basename(root) == "sparse":
-            root = os.path.dirname(root)
+        probe = root
+        while os.path.basename(probe).isdigit():
+            probe = os.path.dirname(probe)
+        if os.path.basename(probe) == "sparse":
+            root = os.path.dirname(probe)
         image_dir = os.path.join(root, "images")
 
     from PIL import Image as PILImage

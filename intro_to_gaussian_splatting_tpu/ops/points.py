@@ -81,11 +81,15 @@ def keypoint_reprojection_report(points, camera_rec, image_rec,
         project_points_numpy,
     )
 
+    # Project at FULL resolution, then rescale: the stored keypoints are
+    # full-res, and ndc2Pix scales by (dim - 1)/2, so projecting at W/d and
+    # comparing against stored/d would carry a systematic (d-1)/d px offset
+    # whenever downscale > 1 (the (W-1)/d vs (W/d - 1) mismatch).
     xy, valid = project_points_numpy(
         np.asarray(points.xyz, np.float64), image_rec.qvec, image_rec.tvec,
-        fx=camera_rec.fx / downscale, fy=camera_rec.fy / downscale,
-        width=camera_rec.width // downscale,
-        height=camera_rec.height // downscale)
+        fx=camera_rec.fx, fy=camera_rec.fy,
+        width=camera_rec.width, height=camera_rec.height)
+    xy = xy / downscale
     id_to_row = {int(pid): i for i, pid in enumerate(points.ids)}
     errs = []
     pids = np.asarray(image_rec.point3D_ids)

@@ -10,6 +10,7 @@ scenes interoperate with public 3DGS viewers.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Optional, Tuple
 
 import jax
@@ -33,12 +34,22 @@ def save_checkpoint(path: str, model: GaussianModel, opt_state: Any,
 
 
 def list_checkpoint_steps(path: str):
-    """Step numbers with a saved checkpoint under ``path``, ascending."""
+    """Step numbers with a saved checkpoint under ``path``, ascending.
+
+    Only exact ``step_<N>`` directories count: an interrupted orbax save
+    leaves ``step_N.orbax-checkpoint-tmp-<ts>`` siblings behind, and resume
+    (the crash-recovery path) must skip those instead of crashing on
+    ``int()``.
+    """
     path = os.path.abspath(path)
     if not os.path.isdir(path):
         return []
-    return sorted(int(d.split("_")[1]) for d in os.listdir(path)
-                  if d.startswith("step_"))
+    steps = []
+    for d in os.listdir(path):
+        m = re.fullmatch(r"step_(\d+)", d)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
 
 
 def prune_checkpoints(path: str, keep: int) -> None:
@@ -57,8 +68,10 @@ def load_checkpoint(path: str, model_template: GaussianModel,
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     if step is None:
-        steps = [int(d.split("_")[1]) for d in os.listdir(path)
-                 if d.startswith("step_")]
+        steps = list_checkpoint_steps(path)
+        if not steps:
+            raise FileNotFoundError(
+                f"no step_<N> checkpoints under {path}")
         step = max(steps)
     ckptr = ocp.StandardCheckpointer()
     template = dict(

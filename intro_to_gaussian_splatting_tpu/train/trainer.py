@@ -10,8 +10,10 @@ all with jit-compatible fixed-capacity state.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
+import json
 import os
 import time
 from typing import Callable, Iterable, Optional, Tuple
@@ -181,6 +183,12 @@ def _zero_slots_jit(tree, slots, capacity):
     return D.zero_slots(tree, slots, capacity)
 
 
+@jax.jit
+def _acc_overflow_jit(count, overflowed):
+    """Running count of steps whose pair pool truncated (device-side)."""
+    return count + jnp.asarray(overflowed).astype(jnp.int32)
+
+
 @dataclasses.dataclass
 class Trainer:
     """Drives the loop; holds host-side state (step counter, RNG).
@@ -209,6 +217,14 @@ class Trainer:
     # resume() restores the newest one (multihost story:
     # parallel/multihost.py -- restart all processes, resume, continue)
     checkpoint_dir: Optional[str] = None
+    # machine-readable training-run artifact: one JSON object per logged
+    # metrics row (SURVEY.md section 5 "stdout/JSONL" plan row)
+    jsonl_path: Optional[str] = None
+    # device-memory budget for cached pre-tiled targets; LRU-evicted beyond
+    # it (a 180-camera Mip-NeRF scene at treehill scale would otherwise pin
+    # ~36 GB of targets on a 16 GB chip). Re-tiling on a miss is one cheap
+    # relayout of the host-resident numpy target.
+    target_cache_bytes: int = 4 << 30
 
     def __post_init__(self):
         self.tx = make_optimizer(self.tcfg, self.scene_extent)
@@ -219,8 +235,16 @@ class Trainer:
         self.key = jax.random.PRNGKey(self.tcfg.seed)
         self.step = 0
         self.history = []
-        self._tiled = {}     # cam_idx -> (target_tiles, target_image|None)
+        # cam_idx -> (entry, nbytes); LRU order, bounded by
+        # target_cache_bytes (entry is (tiles, img|None) single-device or
+        # the padded sharded target)
+        self._tiled = collections.OrderedDict()
+        self._tiled_bytes = 0
         self._masks = {}     # (H, W) -> tile_pixel_mask
+        # on-device overflow accounting: incremented every step a pair pool
+        # truncated, fetched (tunnel-safely) only at log/densify boundaries
+        self._overflow_count = jnp.zeros((), jnp.int32)
+        self._overflow_seen = 0      # host-side count at last boundary
 
     # ---- sharded-mode plumbing -----------------------------------------
     def _setup_sharded(self):
@@ -254,11 +278,36 @@ class Trainer:
         )
         return put_global_tree(z, self.mesh, PS(GAUSS_AXIS))
 
+    # ---- bounded target cache ------------------------------------------
+    def _cache_get(self, cam_idx: int):
+        if cam_idx not in self._tiled:
+            return None
+        self._tiled.move_to_end(cam_idx)
+        return self._tiled[cam_idx][0]
+
+    def _cache_put(self, cam_idx: int, entry, nbytes: int):
+        self._tiled[cam_idx] = (entry, nbytes)
+        self._tiled_bytes += nbytes
+        while (self._tiled_bytes > self.target_cache_bytes
+               and len(self._tiled) > 1):
+            old_key, (_, old_bytes) = self._tiled.popitem(last=False)
+            if old_key == cam_idx:      # never evict the entry just added
+                self._tiled[old_key] = (entry, nbytes)
+                break
+            self._tiled_bytes -= old_bytes
+        return entry
+
+    @staticmethod
+    def _entry_nbytes(entry) -> int:
+        return sum(getattr(leaf, "nbytes", 0)
+                   for leaf in jax.tree.leaves(entry))
+
     def _sharded_target_for(self, cam_idx: int):
         """(padded_H, W, 3) target with PS((gauss, tiles)) row sharding;
         multi-process hosts contribute only their own strip rows."""
-        if cam_idx in self._tiled:
-            return self._tiled[cam_idx]
+        hit = self._cache_get(cam_idx)
+        if hit is not None:
+            return hit
         from jax.sharding import NamedSharding, PartitionSpec as PS
 
         from intro_to_gaussian_splatting_tpu.parallel.mesh import (
@@ -286,24 +335,25 @@ class Trainer:
         else:
             out = jax.device_put(
                 pad, NamedSharding(self.mesh, PS((GAUSS_AXIS, TILE_AXIS))))
-        self._tiled[cam_idx] = out
-        return out
+        return self._cache_put(cam_idx, out, self._entry_nbytes(out))
 
     def _target_for(self, cam_idx: int):
-        """Pre-tiled target + pixel mask for one camera, computed once."""
-        if cam_idx not in self._tiled:
+        """Pre-tiled target + pixel mask for one camera, LRU-cached."""
+        entry = self._cache_get(cam_idx)
+        if entry is None:
             target = self.targets[cam_idx]
             if not isinstance(target, jnp.ndarray):
                 target = jnp.asarray(target, dtype=jnp.float32)
             tiles = image_to_tiles(target, self.rcfg)
             img = (target.transpose(2, 0, 1)
                    if self.tcfg.ssim_weight > 0.0 else None)
-            self._tiled[cam_idx] = (tiles, img)
+            entry = (tiles, img)
+            self._cache_put(cam_idx, entry, self._entry_nbytes(entry))
         cam = self.cameras[cam_idx]
         hw = (cam.height, cam.width)
         if hw not in self._masks:
             self._masks[hw] = tile_pixel_mask(*hw, self.rcfg)
-        tiles, img = self._tiled[cam_idx]
+        tiles, img = entry
         return tiles, self._masks[hw], img
 
     @property
@@ -340,17 +390,54 @@ class Trainer:
                     target_image,
                     self.rcfg, self.tcfg, self.tx, self.active_sh_degree)
             self.step += 1
+            # on-device accumulation: no per-step host fetch (a fetch would
+            # serialize the async dispatch pipeline and block on tunneled
+            # transports); the count is read back only at boundaries.
+            # Multi-process runs skip it (a single-device counter cannot
+            # mix with their global arrays) and report the logged step only.
+            if jax.process_count() == 1:
+                self._overflow_count = _acc_overflow_jit(
+                    self._overflow_count, metrics["overflowed"])
             self._maybe_densify()
             self._maybe_checkpoint()
             if self.step % self.log_every == 0 or it == iterations - 1:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = dict(metrics)
+                if jax.process_count() == 1:
+                    m["overflow_steps"] = self._overflow_count
+                m = self._fetch_metrics(m)
+                # how many steps since the LAST boundary truncated their
+                # pair pool (a mid-window overflow is visible here even if
+                # the logged step itself did not overflow)
+                if "overflow_steps" in m:
+                    total = int(m.pop("overflow_steps"))
+                    m["overflow_steps"] = total - self._overflow_seen
+                    self._overflow_seen = total
+                else:
+                    m["overflow_steps"] = int(bool(m["overflowed"]))
                 m.update(step=self.step, sec=round(time.time() - t0, 2))
                 self.history.append(m)
+                if self.jsonl_path:
+                    with open(self.jsonl_path, "a") as f:
+                        f.write(json.dumps(m) + "\n")
                 if self.on_log:
                     self.on_log(m)
-                if m["overflowed"]:
+                if m["overflow_steps"] > 0:
                     self._grow_pair_pool()
         return self.history
+
+    def _fetch_metrics(self, metrics: dict) -> dict:
+        """Device metrics -> host floats, tunnel-safely: one fused fetch
+        through the CPU-backend jit (utils/fetch.py -- a direct
+        ``float(v)`` device->host transfer blocks forever on tunneled TPU
+        transports). Multi-process runs keep the direct path: their
+        replicated global arrays are not single-device CPU-jittable, and
+        multihost deployments are not tunneled."""
+        if jax.process_count() > 1:
+            return {k: float(v) for k, v in metrics.items()}
+        from intro_to_gaussian_splatting_tpu.utils.fetch import (
+            host_fetch_scalars,
+        )
+        return host_fetch_scalars(metrics)
 
     def _maybe_checkpoint(self):
         """Periodic full-state save (model + optimizer moments + step)."""
@@ -422,6 +509,15 @@ class Trainer:
         t = self.tcfg
         if t.densify_start <= self.step <= t.densify_stop and \
                 self.step % t.densify_interval == 0:
+            # densification grows pair demand; check the overflow counter
+            # here too so a truncating pool is grown at most one densify
+            # interval after it starts dropping (not only at log boundaries)
+            if jax.process_count() == 1:
+                total = int(self._fetch_metrics(
+                    dict(n=self._overflow_count))["n"])
+                if total > self._overflow_seen:
+                    self._overflow_seen = total
+                    self._grow_pair_pool()
             self.key, sub = jax.random.split(self.key)
             max_new = max(self.model.capacity // 8, 1)
             # under jit so the ops run SPMD on globally-sharded arrays in
@@ -504,10 +600,13 @@ def train_cli(args) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
+    jsonl = (os.path.join(args.out_dir, "metrics.jsonl")
+             if jax.process_index() == 0 else None)
     trainer = Trainer(model=model, cameras=cams, targets=targets,
                       scene_extent=extent, tcfg=tcfg, on_log=log,
                       log_every=max(1, min(50, args.iterations // 6)),
-                      mesh=mesh, checkpoint_dir=ckpt_dir)
+                      mesh=mesh, checkpoint_dir=ckpt_dir,
+                      jsonl_path=jsonl)
     iterations = args.iterations
     resume_from = getattr(args, "resume", None)
     if resume_from:

@@ -54,6 +54,23 @@ def host_fetch_scalar(x) -> float:
     return float(np.asarray(out))
 
 
+def host_fetch_scalars(d: dict) -> dict:
+    """Fetch a dict of device scalars as floats in ONE fused transfer.
+
+    The values are stacked into a single (K,) f32 vector on device, so the
+    whole dict costs one cross-backend fetch (and one cached CPU executable
+    per distinct K) instead of K round trips. This is the logging-path
+    helper: Trainer.run fetches its metrics dict through it every
+    ``log_every`` steps (a direct ``float(v)`` blocks forever on tunneled
+    transports, see module docstring).
+    """
+    keys = list(d)
+    vec = jnp.stack([jnp.asarray(d[k], jnp.float32).reshape(())
+                     for k in keys])
+    out = np.asarray(_fetch_jit()(vec))
+    return {k: float(out[i]) for i, k in enumerate(keys)}
+
+
 def warm_fetch() -> float:
     """Compile + exercise the scalar fetch path once (slow on cold axon
     remote-compile queues; disk-cached for later processes)."""

@@ -196,6 +196,111 @@ def test_ply_export_import_roundtrip(tmp_path):
                                np.asarray(model.quats), rtol=1e-6)
 
 
+def test_checkpoint_listing_ignores_interrupted_saves(tmp_path):
+    """An interrupted orbax save leaves step_N.orbax-checkpoint-tmp-<ts>
+    dirs behind; resume (the crash-recovery path) must skip them instead
+    of crashing on int()."""
+    from intro_to_gaussian_splatting_tpu.train.checkpoint import (
+        list_checkpoint_steps, load_checkpoint, save_checkpoint,
+    )
+    from intro_to_gaussian_splatting_tpu.train.trainer import make_optimizer
+
+    raw, cam, model = small_scene(n=10, width=16, height=16, seed=9)
+    tx = make_optimizer(TrainConfig(), scene_extent=1.0)
+    opt_state = tx.init(model.params())
+    ck = tmp_path / "ck"
+    save_checkpoint(str(ck), model, opt_state, step=7)
+    # stray entries an interrupted run can leave behind
+    (ck / "step_9.orbax-checkpoint-tmp-1729").mkdir()
+    (ck / "step_").mkdir()
+    (ck / "notes.txt").write_text("hi")
+
+    assert list_checkpoint_steps(str(ck)) == [7]
+    blank = jax.tree.map(jnp.zeros_like, model).replace(
+        color_space=model.color_space)
+    _, _, step = load_checkpoint(str(ck), blank,
+                                 jax.tree.map(jnp.zeros_like, opt_state))
+    assert step == 7
+
+
+def test_trainer_logging_is_tunnel_safe_and_writes_jsonl(tmp_path,
+                                                         monkeypatch):
+    """The logging path must go through the fused tunnel-safe fetch (a
+    direct float(v) device->host transfer hangs on tunneled transports)
+    and append one JSON object per logged row to jsonl_path."""
+    import json as json_mod
+
+    from intro_to_gaussian_splatting_tpu.utils import fetch as fetch_mod
+
+    calls = []
+    real = fetch_mod.host_fetch_scalars
+    monkeypatch.setattr(fetch_mod, "host_fetch_scalars",
+                        lambda d: calls.append(set(d)) or real(d))
+
+    raw, cam, model = small_scene(n=20, width=32, height=32, seed=21)
+    target = render_tiled(model, cam, RCFG, interpret=True)
+    tcfg = TrainConfig(iterations=4, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0)
+    jsonl = tmp_path / "metrics.jsonl"
+    trainer = Trainer(model=model, cameras=[cam], targets=[target],
+                      scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=2,
+                      jsonl_path=str(jsonl))
+    trainer.run(4)
+    assert calls and all("loss" in c for c in calls), \
+        "metrics must be fetched through utils.fetch.host_fetch_scalars"
+    rows = [json_mod.loads(l) for l in jsonl.read_text().splitlines()]
+    assert [r["step"] for r in rows] == [2, 4]
+    assert all("loss" in r and "psnr" in r and "overflow_steps" in r
+               for r in rows)
+
+
+def test_trainer_reports_mid_window_overflow():
+    """A step that overflows BETWEEN log boundaries must show up in the
+    next boundary's overflow_steps count (the device-side counter), even
+    though the logged step itself ran clean."""
+    raw, cam, true_model = small_scene(n=60, width=32, height=32, seed=21,
+                                       scale_lo=0.15, scale_hi=0.5)
+    target = render_tiled(true_model, cam, RCFG, interpret=True)
+    tiny = RasterizerConfig(chunk_size=128, pairs_per_gaussian=1,
+                            group_tiles=2)
+    tcfg = TrainConfig(iterations=6, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0)
+    events = []
+    trainer = Trainer(model=true_model, cameras=[cam], targets=[target],
+                      scene_extent=1.0, rcfg=tiny, tcfg=tcfg, log_every=3,
+                      on_log=lambda m: events.append(m))
+    trainer.run(6)
+    logs = [m for m in events if "overflow_steps" in m]
+    # every step before the first boundary overflowed (pool of 1 pair per
+    # gaussian): the whole window is reported, not just the logged step
+    assert logs[0]["overflow_steps"] == 3, logs
+    assert trainer.rcfg.pairs_per_gaussian > 1
+
+
+def test_trainer_target_cache_is_bounded():
+    """Training over many distinct cameras must not pin every pre-tiled
+    target on device: the LRU cache stays within target_cache_bytes."""
+    raw, cam, model = small_scene(n=15, width=32, height=32, seed=13)
+    target = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    n_cams = 6
+    cams = [cam] * n_cams
+    targets = [target.copy() for _ in range(n_cams)]
+    tcfg = TrainConfig(iterations=n_cams, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0)
+    trainer = Trainer(model=model, cameras=cams, targets=targets,
+                      scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=10)
+    one_entry = None
+    trainer._target_for(0)
+    one_entry = trainer._tiled[0][1]
+    # budget for ~2 entries: training over 6 cameras must evict
+    trainer.target_cache_bytes = 2 * one_entry + 1
+    trainer.run(n_cams)
+    assert len(trainer._tiled) <= 2
+    assert trainer._tiled_bytes <= trainer.target_cache_bytes
+    # and training still works after eviction + refill
+    assert np.isfinite(trainer.history[-1]["loss"])
+
+
 def test_evaluate_reports_pair_pool_overflow():
     """evaluate() must surface per-view pair-pool overflow (a densified
     model scored with a too-small pool silently deflates PSNR/SSIM

@@ -277,6 +277,10 @@ def main(argv=None) -> int:
                    help="hold out every Nth view for eval (0 = train on all)")
     p.add_argument("--ssim-weight", type=float, default=None,
                    help="override TrainConfig.ssim_weight")
+    p.add_argument("--camera-batch", type=int, default=1, metavar="B",
+                   help="multi-camera batch DP: average gradients over B "
+                        "same-size cameras per optimizer step (one "
+                        "on-device scan; see train_step_batched)")
     p.add_argument("--eval-at-end", action="store_true",
                    help="print PSNR/SSIM on the holdout (or train) views "
                         "after training")

@@ -98,10 +98,15 @@ class RasterizerConfig:
     # Cap on the number of tiles a single gaussian may span per axis.
     max_span: int = 32
     # MXU precision of the kernels' one-hot accumulation matmuls.
-    # f32 inputs are decomposed into bf16 passes: "highest" = 6 passes
-    # (exact f32), "default" = 1 pass (raw bf16 -- ~4e-3 relative, fails
-    # the 1e-4 parity gates; throughput experiments only). Mosaic does not
-    # lower the intermediate 3-pass HIGH. For dense pair streams, shrink
+    # "highest" = exact f32 (Mosaic runs it as 6 bf16 passes). "split3"
+    # hand-decomposes the f32 payload into three bf16 terms (the one-hot
+    # selector is exact in bf16) for 3 single-pass matmuls, exact to ~1 f32
+    # ulp -- but MEASURED SLOWER than "highest" on v5e (probe_split3.py:
+    # 9.98 vs 9.41 ms fwd+bwd at treehill ref-init; the VPU hi/mid/lo
+    # extraction costs more than the saved passes, and a 1-pass "default"
+    # run shows the matmuls are only ~0.6 ms of the kernel anyway).
+    # "default" = 1 raw bf16 pass (~4e-3 relative, fails the 1e-4 parity
+    # gates; throughput experiments only). For dense pair streams, shrink
     # ``group_tiles`` instead: the matmul cost scales linearly with it.
     accum_precision: str = "highest"
     # Tile groups processed per sequential Mosaic grid step. Each grid step
@@ -123,7 +128,7 @@ class RasterizerConfig:
         assert self.group_tiles > 0
         assert self.alpha_clamp <= 0.9999, \
             "alpha must stay < 1 so transmittance is monotone"
-        assert self.accum_precision in ("highest", "default")
+        assert self.accum_precision in ("split3", "highest", "default")
         assert self.groups_per_step >= 1
 
 
@@ -141,6 +146,12 @@ class TrainConfig:
     lr_sh0: float = 2.5e-3
     lr_shN: float = 2.5e-3 / 20.0
     ssim_weight: float = 0.2        # loss = (1-w)*L1 + w*(1-SSIM)
+    # Single-chip loss path when ssim_weight > 0: True runs the fused
+    # tile-space L1+SSIM value+gradient band kernel
+    # (ops/fused_loss_pallas.py -- one pass, no tile<->image relayouts in
+    # HBM); False keeps the split path (tile L1 + untile + SSIM fwd/bwd),
+    # which remains the parity oracle.
+    fused_loss: bool = True
     sh_degree: int = 3
     sh_degree_interval: int = 1000  # raise active SH degree every N steps
     # Densification
@@ -152,6 +163,12 @@ class TrainConfig:
     prune_opacity_threshold: float = 5e-3
     opacity_reset_interval: int = 3000
     capacity_multiplier: float = 4.0  # fixed pool = multiplier * init count
+    # Multi-camera batch DP (single-chip): each optimizer step averages
+    # gradients over this many same-resolution cameras, rendered in one
+    # on-device lax.scan (train_step_batched) -- amortizes per-step host
+    # dispatch and fills idle chip time at small scenes. 1 = classic 3DGS
+    # one-camera steps.
+    camera_batch: int = 1
     seed: int = 0
     # Failure recovery: save the full training state (model + optimizer
     # moments + step) every N steps so a preempted/failed run resumes from

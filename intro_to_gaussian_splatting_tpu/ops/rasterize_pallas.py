@@ -72,8 +72,35 @@ _PRECISIONS = {
 }
 
 
-def _accum_precision(config: RasterizerConfig):
-    return _PRECISIONS[config.accum_precision]
+def _oh_dot(oh, mat, config: RasterizerConfig):
+    """One-hot selector @ f32 payload matrix, contracting oh's last dim.
+
+    ``oh`` contains only {0, 1} -- exactly representable in bf16 -- so the
+    product needs full precision only on ``mat``. "split3" decomposes mat
+    into three bf16 terms (hi/mid/lo ~ 24 mantissa bits, each split exact
+    by Sterbenz) and issues THREE single-pass bf16 MXU matmuls: exact to
+    ~1 f32 ulp at HALF the MXU work of f32 HIGHEST (6 passes). Mosaic
+    refuses to lower the jax-level 3-pass HIGH; this is the hand-rolled
+    equivalent. Replaces the per-channel f32 dots that mirrored the
+    per-thread scalar accumulation of the reference CUDA kernel
+    (splat/c/render.cu:49-81).
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if config.accum_precision == "split3":
+        ohb = oh.astype(jnp.bfloat16)
+        hi = mat.astype(jnp.bfloat16)
+        r1 = mat - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = None
+        for part in (hi, mid, lo):
+            d = jax.lax.dot_general(ohb, part, dims,
+                                    preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+        return out
+    return jax.lax.dot_general(
+        oh, mat, dims, precision=_PRECISIONS[config.accum_precision],
+        preferred_element_type=jnp.float32)
 
 
 def _interpret_default() -> bool:
@@ -240,14 +267,17 @@ def _fwd_kernel(gs_ref, rec_hbm, out_ref, rec_vmem, sem,
                 jnp.float32)
             w = T * a * include                                  # (C, PIX)
 
-            # per-tile accumulation: one-hot selector x weights, on the MXU
+            # per-tile accumulation: one-hot selector x weights, on the MXU.
+            # The 5 payload channels are weighted on the VPU and stacked
+            # laterally into ONE (C, 5*PIX) operand so every precision pass
+            # is a single wide matmul (fewer, larger MXU ops).
             oh = (rows_gt == tl_row).astype(jnp.float32)         # (GT, C)
+            wcat = jnp.concatenate(
+                [_col(rec_t, P.PAYLOAD_START + c) * w
+                 for c in range(P.NUM_PAYLOAD)], axis=1)         # (C, 5*PIX)
+            big = _oh_dot(oh, wcat, config)                      # (GT, 5*PIX)
             for c in range(P.NUM_PAYLOAD):
-                ohp = oh * rec[P.PAYLOAD_START + c:P.PAYLOAD_START + c + 1, :]
-                out_ref[j, c] = out_ref[j, c] + jax.lax.dot_general(
-                    ohp, w, (((1,), (0,)), ((), ())),
-                    precision=_accum_precision(config),
-                    preferred_element_type=jnp.float32)
+                out_ref[j, c] = out_ref[j, c] + big[:, c * pix:(c + 1) * pix]
 
             t_incl_full = t_incl * jnp.where(cont, t_carry, 1.0)
             return (t_incl_full[chunk - 1:chunk, :], seg[chunk - 1:chunk, :])
@@ -387,10 +417,7 @@ def _bwd_group(j, g, gs_ref, rec_hbm, out_blk, g_blk, drec_hbm,
 
         # per-pair rows of the tile-indexed cotangent / forward outputs
         oh_t = (cols_gt == tl_sub).astype(jnp.float32)           # (C, GT)
-        big = jax.lax.dot_general(
-            oh_t, gcat, (((1,), (0,)), ((), ())),
-            precision=_accum_precision(config),
-            preferred_element_type=jnp.float32)                  # (C, 6*PIX)
+        big = _oh_dot(oh_t, gcat, config)                        # (C, 6*PIX)
         gtile = [big[:, c * pix:(c + 1) * pix]
                  for c in range(P.NUM_PAYLOAD)]                  # (C, PIX) x5
         gc = sum(_col(rec_t, P.PAYLOAD_START + c) * gtile[c]

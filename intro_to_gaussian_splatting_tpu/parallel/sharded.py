@@ -317,7 +317,19 @@ def _ring_bin_strip(proj_local, width: int, strip_rows: int,
     group_starts = jnp.searchsorted(
         sorted_key, boundaries.astype(jnp.float32), side="left").astype(
         jnp.int32)
-    return pr, group_starts, (total > mp) | hop_ovf
+    # per-strip communication/occupancy accounting (weak-scaling evidence:
+    # VERDICT r4 item 5). bytes_ppermuted counts this device's ring traffic
+    # for the forward pass: (16 f32 record rows + valid byte) per shard
+    # slot, g_size hops (the AD transpose rings the cotangents back, so a
+    # train step moves ~2x this).
+    stats = dict(
+        demand=total,                          # pairs this strip wanted
+        emitted=base,                          # pairs actually admitted
+        slab_slots=jnp.asarray(hop * g_size, jnp.int32),
+        bytes_ppermuted=jnp.asarray(
+            float(P.NUM_REC_ROWS * 4 + 1) * g_size * ns, jnp.float32),
+    )
+    return pr, group_starts, (total > mp) | hop_ovf, stats
 
 
 def _render_strip(model_shard: GaussianModel, camera: Camera,
@@ -344,7 +356,7 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
             max_pairs_local = ring_max_pairs(
                 model_shard.capacity * jax.lax.axis_size(GAUSS_AXIS),
                 n_strips, rcfg)
-        records, group_starts, overflowed = _ring_bin_strip(
+        records, group_starts, overflowed, stats = _ring_bin_strip(
             proj, w, strip_rows, rcfg, max_pairs_local, hop_pairs)
     else:
         proj_full = jax.tree.map(
@@ -358,11 +370,23 @@ def _render_strip(model_shard: GaussianModel, camera: Camera,
         bins = bin_gaussians(proj_strip, w, strip_rows, rcfg)
         records, group_starts = bins.pair_records, bins.group_starts
         overflowed = bins.overflowed
+        # all_gather replicates every record on every strip owner
+        g_size = jax.lax.axis_size(GAUSS_AXIS)
+        stats = dict(
+            demand=bins.num_pairs,
+            emitted=jnp.minimum(
+                bins.num_pairs,
+                jnp.asarray(records.shape[1], jnp.int32)),
+            slab_slots=jnp.asarray(records.shape[1], jnp.int32),
+            bytes_ppermuted=jnp.asarray(
+                float(P.NUM_REC_ROWS * 4 + 1) * (g_size - 1)
+                * proj.depth.shape[0], jnp.float32),
+        )
 
     tile_out = rasterize_pairs(
         records, group_starts, num_groups, rcfg, interpret)
     strip = untile(tile_out, ntx, nty_local, ts, strip_rows, w)
-    return strip, overflowed, jax.lax.stop_gradient(proj.valid)
+    return strip, overflowed, jax.lax.stop_gradient(proj.valid), stats
 
 
 @functools.partial(
@@ -392,10 +416,11 @@ def sharded_render(
     strip_rows, padded_h = strip_layout(camera.height, rcfg.tile_size, n_strips)
 
     def f(model_shard, cam):
-        strip, _, _ = _render_strip(model_shard, cam, rcfg, strip_rows,
-                                    active_sh_degree, interpret, ring=ring,
-                                    max_pairs_local=max_pairs_local,
-                                    hop_pairs=hop_pairs)
+        strip, _, _, _ = _render_strip(model_shard, cam, rcfg, strip_rows,
+                                       active_sh_degree, interpret,
+                                       ring=ring,
+                                       max_pairs_local=max_pairs_local,
+                                       hop_pairs=hop_pairs)
         return strip
 
     out = shard_map(
@@ -452,7 +477,7 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
     def inner(params_shard, active_shard, probe_shard, target_strip, cam):
         model_shard = model_template.replace(active=active_shard,
                                              **params_shard)
-        strip, overflowed, visible = _render_strip(
+        strip, overflowed, visible, rstats = _render_strip(
             model_shard, cam, rcfg, strip_rows, active_sh_degree, interpret,
             ring=ring, mean2d_offset=probe_shard,
             max_pairs_local=max_pairs_local, hop_pairs=hop_pairs)
@@ -501,6 +526,13 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
             overflowed=allsum(overflowed.astype(jnp.float32)) > 0.0,
             visible=visible,
             psnr=-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+            # global ring accounting (weak-scaling evidence): total pair
+            # demand/admission across strips, and the per-device ring
+            # traffic (max over devices -- they are symmetric by design)
+            ring_demand=allsum(rstats["demand"].astype(jnp.float32)),
+            ring_emitted=allsum(rstats["emitted"].astype(jnp.float32)),
+            ring_bytes_per_device=jax.lax.pmax(jax.lax.pmax(
+                rstats["bytes_ppermuted"], GAUSS_AXIS), TILE_AXIS),
         )
         return loss, aux
 
@@ -509,7 +541,9 @@ def sharded_loss_fn(model_template: GaussianModel, camera: Camera, mesh: Mesh,
         in_specs=(PS(GAUSS_AXIS), PS(GAUSS_AXIS), PS(GAUSS_AXIS),
                   PS((GAUSS_AXIS, TILE_AXIS)), PS()),
         out_specs=(PS(), dict(overflowed=PS(), visible=PS(GAUSS_AXIS),
-                              psnr=PS())),
+                              psnr=PS(), ring_demand=PS(),
+                              ring_emitted=PS(),
+                              ring_bytes_per_device=PS())),
         check_vma=False,  # pallas_call does not declare varying-mesh axes
     )
 
@@ -566,5 +600,8 @@ def sharded_train_step(
     dstate = D.accumulate(dstate, screen_grads, aux["visible"])
     metrics = dict(loss=loss, psnr=aux["psnr"],
                    num_active=model.num_active,
-                   overflowed=aux["overflowed"])
+                   overflowed=aux["overflowed"],
+                   ring_demand=aux["ring_demand"],
+                   ring_emitted=aux["ring_emitted"],
+                   ring_bytes_per_device=aux["ring_bytes_per_device"])
     return new_model, opt_state, dstate, metrics

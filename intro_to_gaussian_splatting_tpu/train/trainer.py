@@ -85,6 +85,54 @@ def make_optimizer(config: TrainConfig, scene_extent: float):
     return optax.multi_transform(txs, param_labels={k: k for k in txs})
 
 
+def _camera_loss(model, params, probe, camera, target_tiles, target_mask,
+                 target_image, rcfg, tcfg, active_sh_degree):
+    """Photometric objective of ONE camera -> (loss, (tiles, aux, mse)).
+
+    Fused path (tcfg.fused_loss and ssim_weight > 0): target_image is the
+    padded channel-major target of fused_loss_pallas.pad_target_chw and
+    target_tiles/target_mask are None; L1 + SSIM value AND gradient (plus
+    the MSE metrics tap) run as one tile-space Pallas band pass. Split
+    path: tile-space L1 against target_tiles/target_mask, SSIM (if on)
+    through the untile relayout against the (3, H, W) target_image;
+    ``mse`` is then None and the caller derives PSNR from tile_psnr.
+    """
+    h, w = camera.height, camera.width
+    ts = rcfg.tile_size
+    ntx, nty = tile_grid(w, h, ts)
+    fused = tcfg.ssim_weight > 0.0 and tcfg.fused_loss
+    m = model.replace(**params)
+    tiles, aux = render_tiles(m, camera, rcfg,
+                              active_sh_degree=active_sh_degree,
+                              return_aux=True, mean2d_offset=probe)
+    if fused:
+        from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas import (
+            fused_photometric_loss,
+        )
+        loss, mse = fused_photometric_loss(
+            tiles[:, :3], target_image, ntx, nty, ts, h, w,
+            tcfg.ssim_weight, None)
+        return loss, (tiles, aux, jax.lax.stop_gradient(mse))
+    loss = tile_l1(tiles, target_tiles, target_mask)
+    if tcfg.ssim_weight > 0.0:
+        from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+            _interpret_default,
+        )
+        if _interpret_default():
+            img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
+        else:
+            # Pallas relayout: same permutation, ~5x cheaper fwd+bwd
+            # than the XLA untile at treehill scale (relayout_pallas)
+            from intro_to_gaussian_splatting_tpu.ops.relayout_pallas import (
+                untile_chw_fast,
+            )
+            img = untile_chw_fast(tiles[:, :4], ntx, nty, ts, h, w, False)
+        loss = ((1.0 - tcfg.ssim_weight) * loss
+                + tcfg.ssim_weight
+                * (1.0 - fused_ssim(img, target_image, grad_target=False)))
+    return loss, (tiles, aux, None)
+
+
 @functools.partial(jax.jit, static_argnames=("rcfg", "tcfg", "tx",
                                               "active_sh_degree"))
 def train_step(
@@ -103,51 +151,27 @@ def train_step(
     """One optimization step on one camera in the rasterizer's NATIVE tile
     layout. Returns (model, opt_state, dstate, metrics).
 
+    With ``tcfg.fused_loss`` and ssim_weight > 0 (the production path),
+    ``target_image`` is the padded channel-major target from
+    ``fused_loss_pallas.pad_target_chw`` and target_tiles/target_mask are
+    None: the whole photometric objective (L1 + SSIM, value AND pixel
+    gradient, plus the MSE metrics tap) runs as ONE Pallas band pass in
+    tile space -- no tile<->image relayout ever touches HBM. Otherwise
     ``target_tiles``/``target_mask`` come from ``image_to_tiles`` /
-    ``tile_pixel_mask`` (pre-computed once per camera by the Trainer), so
-    the L1 term and PSNR metric never pay the ~200 MB untile relayout the
-    kernel's grouped output would otherwise need. When ``tcfg.ssim_weight``
-    > 0 the SSIM term untiles only the 3 RGB channels, channel-major
-    (``target_image`` must then be the (3, H, W) ground truth -- the layout
-    the depthwise SSIM blur needs on TPU; pass None otherwise).
+    ``tile_pixel_mask`` and the split path runs (tile-space L1; for
+    ssim_weight > 0 the SSIM term untiles the RGB channels and
+    ``target_image`` must be the (3, H, W) ground truth).
     """
     params = model.params()
     probe = jnp.zeros((model.capacity, 2), jnp.float32)
-    h, w = camera.height, camera.width
-    ts = rcfg.tile_size
-    ntx, nty = tile_grid(w, h, ts)
+    fused = tcfg.ssim_weight > 0.0 and tcfg.fused_loss
 
     def loss_fn(params, probe):
-        m = model.replace(**params)
-        tiles, aux = render_tiles(m, camera, rcfg,
-                                  active_sh_degree=active_sh_degree,
-                                  return_aux=True, mean2d_offset=probe)
-        loss = tile_l1(tiles, target_tiles, target_mask)
-        if tcfg.ssim_weight > 0.0:
-            from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
-                _interpret_default,
-            )
-            if _interpret_default():
-                img = untile_chw(tiles[:, :3], ntx, nty, ts, h, w)
-            else:
-                # Pallas relayout: same permutation, ~5x cheaper fwd+bwd
-                # than the XLA untile at treehill scale (relayout_pallas)
-                from intro_to_gaussian_splatting_tpu.ops.relayout_pallas \
-                    import untile_chw_fast
-                img = untile_chw_fast(tiles[:, :4], ntx, nty, ts, h, w,
-                                      False)
-            # NOTE: fused_ssim(precompute_grad=True) would save one band
-            # pass (~5 ms/step at treehill scale) but its Mosaic compile
-            # time at full resolution is pathological (>10 min vs ~1 min
-            # for the split path); the split fwd/bwd is the default until
-            # the toolchain handles the 3-output kernel better.
-            loss = ((1.0 - tcfg.ssim_weight) * loss
-                    + tcfg.ssim_weight
-                    * (1.0 - fused_ssim(img, target_image,
-                                        grad_target=False)))
-        return loss, (tiles, aux)
+        return _camera_loss(model, params, probe, camera, target_tiles,
+                            target_mask, target_image, rcfg, tcfg,
+                            active_sh_degree)
 
-    (loss, (tiles, aux)), grads = jax.value_and_grad(
+    (loss, (tiles, aux, mse)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
     param_grads, screen_grads = grads
 
@@ -160,10 +184,84 @@ def train_step(
         params, model.params()))
 
     dstate = D.accumulate(dstate, screen_grads, aux["visible"])
+    if fused:
+        psnr_val = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+    else:
+        psnr_val = tile_psnr(tiles, target_tiles, target_mask)
     metrics = dict(loss=loss,
-                   psnr=tile_psnr(tiles, target_tiles, target_mask),
+                   psnr=psnr_val,
                    num_active=model.num_active,
                    overflowed=aux["overflowed"])
+    return new_model, opt_state, dstate, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("rcfg", "tcfg", "tx",
+                                              "active_sh_degree"))
+def train_step_batched(
+    model: GaussianModel,
+    opt_state,
+    dstate: D.DensifyState,
+    cameras: Camera,
+    target_tiles: Optional[jax.Array],
+    target_mask: Optional[jax.Array],
+    target_images: Optional[jax.Array],
+    rcfg: RasterizerConfig,
+    tcfg: TrainConfig,
+    tx,
+    active_sh_degree: int = 0,
+):
+    """Multi-camera batch DP: ONE optimizer step on the MEAN gradient over
+    B stacked same-resolution cameras (SURVEY.md section 2.3 row
+    "everything else" -- the reference's only parallelism is its CUDA
+    launch grid, splat/c/render.cu:119-124).
+
+    ``cameras`` is a stacked Camera pytree (models/camera.stack_cameras);
+    targets carry a leading B dim in whichever layout the loss path needs
+    (see _camera_loss). A ``lax.scan`` renders and differentiates each
+    camera in sequence ON DEVICE -- B renders per host dispatch -- while
+    the densify statistics accumulate per camera exactly as B sequential
+    steps would. Equivalent to train_step on the averaged gradient
+    (tested: batched == mean of per-camera grads).
+    """
+    params = model.params()
+    probe = jnp.zeros((model.capacity, 2), jnp.float32)
+    b = cameras.world2view.shape[0]
+
+    def body(carry, xs):
+        gacc, dstate, lacc, pacc, oacc = carry
+        cam, tt, tm, ti = xs
+
+        def loss_fn(params, probe):
+            return _camera_loss(model, params, probe, cam, tt, tm, ti,
+                                rcfg, tcfg, active_sh_degree)
+
+        (loss, (tiles, aux, mse)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, probe)
+        pg, sg = grads
+        if mse is not None:
+            psnr_val = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        else:
+            psnr_val = tile_psnr(tiles, tt, tm)
+        gacc = jax.tree.map(jnp.add, gacc, pg)
+        dstate = D.accumulate(dstate, sg, aux["visible"])
+        return (gacc, dstate, lacc + loss, pacc + psnr_val,
+                oacc | aux["overflowed"]), None
+
+    init = (jax.tree.map(jnp.zeros_like, params), dstate,
+            jnp.zeros(()), jnp.zeros(()), jnp.zeros((), bool))
+    xs = (cameras, target_tiles, target_mask, target_images)
+    (gacc, dstate, lacc, pacc, oacc), _ = jax.lax.scan(
+        body, init, xs, length=b)
+
+    mean_grads = jax.tree.map(lambda g: g / b, gacc)
+    updates, opt_state = tx.update(mean_grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    new_model = model.replace(**jax.tree.map(
+        lambda new, old: jnp.where(
+            model.active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+        params, model.params()))
+    metrics = dict(loss=lacc / b, psnr=pacc / b,
+                   num_active=model.num_active, overflowed=oacc)
     return new_model, opt_state, dstate, metrics
 
 
@@ -338,22 +436,42 @@ class Trainer:
         return self._cache_put(cam_idx, out, self._entry_nbytes(out))
 
     def _target_for(self, cam_idx: int):
-        """Pre-tiled target + pixel mask for one camera, LRU-cached."""
+        """Per-camera target in the layout the loss path needs, LRU-cached.
+
+        Fused path (ssim_weight > 0 and tcfg.fused_loss): ONLY the padded
+        channel-major image of fused_loss_pallas (the kernel computes L1,
+        SSIM and the PSNR tap itself) -- about half the device bytes of the
+        split path's (tiles, image) pair. Split path: pre-tiled target +
+        pixel mask (+ channel-major image when SSIM is on).
+        """
+        cam = self.cameras[cam_idx]
+        h, w = cam.height, cam.width
+        fused = self.tcfg.ssim_weight > 0.0 and self.tcfg.fused_loss
         entry = self._cache_get(cam_idx)
         if entry is None:
             target = self.targets[cam_idx]
             if not isinstance(target, jnp.ndarray):
                 target = jnp.asarray(target, dtype=jnp.float32)
-            tiles = image_to_tiles(target, self.rcfg)
-            img = (target.transpose(2, 0, 1)
-                   if self.tcfg.ssim_weight > 0.0 else None)
-            entry = (tiles, img)
+            if fused:
+                from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas \
+                    import pad_target_chw
+                ntx, nty = tile_grid(w, h, self.rcfg.tile_size)
+                pad = jax.jit(pad_target_chw, static_argnums=(1, 2, 3, 4,
+                                                              5))(
+                    target, ntx, nty, self.rcfg.tile_size, h, w)
+                entry = (None, pad)
+            else:
+                tiles = image_to_tiles(target, self.rcfg)
+                img = (target.transpose(2, 0, 1)
+                       if self.tcfg.ssim_weight > 0.0 else None)
+                entry = (tiles, img)
             self._cache_put(cam_idx, entry, self._entry_nbytes(entry))
-        cam = self.cameras[cam_idx]
-        hw = (cam.height, cam.width)
+        tiles, img = entry
+        if fused:
+            return None, None, img
+        hw = (h, w)
         if hw not in self._masks:
             self._masks[hw] = tile_pixel_mask(*hw, self.rcfg)
-        tiles, img = entry
         return tiles, self._masks[hw], img
 
     @property
@@ -363,10 +481,52 @@ class Trainer:
         return min(self.model.sh_degree,
                    self.step // self.tcfg.sh_degree_interval)
 
+    def _batched_target_for(self, group):
+        """Stacked cameras + targets for one fixed camera group (cached)."""
+        from intro_to_gaussian_splatting_tpu.models.camera import (
+            stack_cameras,
+        )
+        key = ("batch",) + tuple(group)
+        entry = self._cache_get(key)
+        if entry is None:
+            fused = self.tcfg.ssim_weight > 0.0 and self.tcfg.fused_loss
+            cams = stack_cameras([self.cameras[i] for i in group])
+            h, w = cams.height, cams.width
+
+            def tgt(i):
+                t = self.targets[i]
+                return (t if isinstance(t, jnp.ndarray)
+                        else jnp.asarray(t, jnp.float32))
+
+            if fused:
+                from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas \
+                    import pad_target_chw
+                ntx, nty = tile_grid(w, h, self.rcfg.tile_size)
+                pad = jax.jit(pad_target_chw,
+                              static_argnums=(1, 2, 3, 4, 5))
+                ti = jnp.stack([pad(tgt(i), ntx, nty, self.rcfg.tile_size,
+                                    h, w) for i in group])
+                entry = (cams, None, None, ti)
+            else:
+                tiles = jnp.stack([image_to_tiles(tgt(i), self.rcfg)
+                                   for i in group])
+                mask = tile_pixel_mask(h, w, self.rcfg)
+                masks = jnp.stack([mask] * len(group))
+                imgs = (jnp.stack([tgt(i).transpose(2, 0, 1)
+                                   for i in group])
+                        if self.tcfg.ssim_weight > 0.0 else None)
+                entry = (cams, tiles, masks, imgs)
+            self._cache_put(key, entry, self._entry_nbytes(entry))
+        return entry
+
     def run(self, iterations: Optional[int] = None):
         iterations = iterations or self.tcfg.iterations
+        bsz = self.tcfg.camera_batch
+        batched = self.mesh is None and bsz > 1
+        n_units = (max(1, -(-len(self.cameras) // bsz)) if batched
+                   else len(self.cameras))
         order = np.random.default_rng(self.tcfg.seed).permutation(
-            np.arange(iterations) % len(self.cameras))
+            np.arange(iterations) % n_units)
         t0 = time.time()
         for it in range(iterations):
             cam_idx = int(order[it])
@@ -381,6 +541,15 @@ class Trainer:
                         self.cameras[cam_idx], target_padded, self.mesh,
                         self.rcfg, self.tcfg, self.tx,
                         self.active_sh_degree, ring=self.ring)
+            elif batched:
+                group = tuple((cam_idx * bsz + k) % len(self.cameras)
+                              for k in range(bsz))
+                cams, tt, tm, ti = self._batched_target_for(group)
+                self.model, self.opt_state, self.dstate, metrics = \
+                    train_step_batched(
+                        self.model, self.opt_state, self.dstate, cams,
+                        tt, tm, ti, self.rcfg, self.tcfg, self.tx,
+                        self.active_sh_degree)
             else:
                 target_tiles, target_mask, target_image = \
                     self._target_for(cam_idx)
@@ -566,6 +735,8 @@ def train_cli(args) -> int:
     tcfg = TrainConfig(iterations=args.iterations)
     if getattr(args, "ssim_weight", None) is not None:
         tcfg = dataclasses.replace(tcfg, ssim_weight=args.ssim_weight)
+    if getattr(args, "camera_batch", 1) and args.camera_batch > 1:
+        tcfg = dataclasses.replace(tcfg, camera_batch=args.camera_batch)
     if getattr(args, "checkpoint_every", None):
         tcfg = dataclasses.replace(
             tcfg, checkpoint_every=args.checkpoint_every)

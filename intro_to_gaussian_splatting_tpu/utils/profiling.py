@@ -120,7 +120,7 @@ class Roofline:
 # weight ~6.
 _VPU_FLOPS_PER_PAIR_PIXEL = 45.0
 
-_PRECISION_PASSES = {"highest": 6.0, "default": 1.0}
+_PRECISION_PASSES = {"highest": 6.0, "split3": 3.0, "default": 1.0}
 
 
 def rasterizer_roofline(num_pairs: int, tile_size: int, chunk_size: int,

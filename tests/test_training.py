@@ -196,6 +196,108 @@ def test_ply_export_import_roundtrip(tmp_path):
                                np.asarray(model.quats), rtol=1e-6)
 
 
+def test_camera_batch_equals_mean_gradient():
+    """train_step_batched must take ONE optimizer step on the MEAN of the
+    per-camera gradients: batching the same camera twice reproduces the
+    single-camera step exactly, and a 2-distinct-camera batch equals a
+    manual mean-gradient Adam update."""
+    import optax
+
+    from intro_to_gaussian_splatting_tpu.config import TrainConfig
+    from intro_to_gaussian_splatting_tpu.models.camera import stack_cameras
+    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        image_to_tiles, tile_pixel_mask,
+    )
+    from intro_to_gaussian_splatting_tpu.train.trainer import (
+        _camera_loss, make_optimizer, train_step, train_step_batched,
+    )
+    from tests.scenes import small_scene
+
+    raw, cam, true_model = small_scene(n=25, width=32, height=32, seed=4,
+                                       scale_lo=0.08, scale_hi=0.3)
+    cam2 = small_scene(n=25, width=32, height=32, seed=8)[1]
+    t1 = render_tiled(true_model, cam, RCFG, interpret=True)
+    t2 = render_tiled(true_model, cam2, RCFG, interpret=True) * 0.5
+    # perturb so the loss/gradients are far from zero
+    model = true_model.replace(
+        opacity_logits=true_model.opacity_logits - 1.0)
+    tcfg = TrainConfig(ssim_weight=0.0)
+    # a LINEAR optimizer isolates the mean-gradient property: Adam's
+    # g/|g| normalization amplifies benign op-order rounding at
+    # near-zero gradients into sign flips, which is not what this test
+    # is about (train_step_batched applies whatever tx it is given to
+    # the accumulated mean either way)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(model.params())
+    dstate = D.DensifyState.zero(model.capacity)
+    mask = tile_pixel_mask(32, 32, RCFG)
+
+    # same camera twice == single-camera step
+    cams = stack_cameras([cam, cam])
+    tiles1 = image_to_tiles(t1, RCFG)
+    tt = jnp.stack([tiles1, tiles1])
+    tm = jnp.stack([mask, mask])
+    mb, ob, db, metb = train_step_batched(
+        model, opt_state, dstate, cams, tt, tm, None, RCFG, tcfg, tx, 0)
+    ms, _, ds, mets = train_step(
+        model, opt_state, dstate, cam, tiles1, mask, None, RCFG, tcfg,
+        tx, 0)
+    # scan-body vs inline graphs compile to slightly different op orders;
+    # f32 noise ~2e-5 abs is expected, a sum-vs-mean bug would be ~1e-2
+    np.testing.assert_allclose(np.asarray(mb.means), np.asarray(ms.means),
+                               rtol=1e-3, atol=1e-4)
+    assert float(metb["loss"]) == pytest.approx(float(mets["loss"]),
+                                                rel=1e-5)
+    # densify stats accumulate PER CAMERA (twice the single-step stat)
+    np.testing.assert_allclose(np.asarray(db.grad_accum),
+                               2 * np.asarray(ds.grad_accum),
+                               rtol=1e-3, atol=1e-8)
+
+    # two distinct cameras == manual mean-gradient update
+    cams2 = stack_cameras([cam, cam2])
+    tiles2 = image_to_tiles(t2, RCFG)
+    tt2 = jnp.stack([tiles1, tiles2])
+    mb2, _, _, _ = train_step_batched(
+        model, opt_state, dstate, cams2, tt2, tm, None, RCFG, tcfg, tx, 0)
+
+    params = model.params()
+    probe = jnp.zeros((model.capacity, 2), jnp.float32)
+    gsum = None
+    for c, t in ((cam, tiles1), (cam2, tiles2)):
+        g = jax.grad(
+            lambda p: _camera_loss(model, p, probe, c, t, mask, None,
+                                   RCFG, tcfg, 0)[0])(params)
+        gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+    gmean = jax.tree.map(lambda x: x / 2.0, gsum)
+    updates, _ = tx.update(gmean, opt_state, params)
+    ref = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(mb2.means),
+                               np.asarray(ref["means"]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_trainer_runs_camera_batched():
+    """Trainer.run with tcfg.camera_batch > 1 optimizes and logs."""
+    from intro_to_gaussian_splatting_tpu.config import TrainConfig
+    from tests.scenes import small_scene
+
+    raw, cam, true_model = small_scene(n=40, width=32, height=32, seed=21,
+                                       scale_lo=0.08, scale_hi=0.3)
+    cam2 = small_scene(n=40, width=32, height=32, seed=9)[1]
+    t1 = np.asarray(render_tiled(true_model, cam, RCFG, interpret=True))
+    t2 = np.asarray(render_tiled(true_model, cam2, RCFG, interpret=True))
+    noisy = true_model.replace(
+        opacity_logits=true_model.opacity_logits - 1.0)
+    tcfg = TrainConfig(iterations=8, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0,
+                       camera_batch=2)
+    trainer = Trainer(model=noisy, cameras=[cam, cam2], targets=[t1, t2],
+                      scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=4)
+    hist = trainer.run(8)
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert np.isfinite(hist[-1]["psnr"])
+
+
 def test_checkpoint_listing_ignores_interrupted_saves(tmp_path):
     """An interrupted orbax save leaves step_N.orbax-checkpoint-tmp-<ts>
     dirs behind; resume (the crash-recovery path) must skip them instead

@@ -188,7 +188,19 @@ def main():
     target_tiles = jax.jit(image_to_tiles, static_argnames="config")(
         target, config)
     target_mask = tile_pixel_mask(height, width, config)
-    target_chw = jnp.transpose(target, (2, 0, 1))  # SSIM layout
+    target_chw = jnp.transpose(target, (2, 0, 1))  # split-path SSIM layout
+    # fused-loss path (the production default): ONE padded channel-major
+    # target per camera; the whole photometric objective runs as a single
+    # tile-space Pallas band pass (ops/fused_loss_pallas.py). The layout
+    # depends only on (tile_size, H, W), so every config here shares it.
+    from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas import (
+        pad_target_chw,
+    )
+    ntx0, nty0 = tile_grid(width, height, config.tile_size)
+    target_pad = jax.jit(pad_target_chw, static_argnums=(1, 2, 3, 4, 5))(
+        target, ntx0, nty0, config.tile_size, height, width)
+    fused = tcfg.ssim_weight > 0.0 and tcfg.fused_loss
+    log(f"loss path: {'fused tile-space' if fused else 'split'}")
 
     def setup_train(model):
         scene_extent = 10.0
@@ -222,7 +234,9 @@ def main():
     def make_step_chain(tx):
         # targets MUST be explicit arguments: closure-captured device arrays
         # become HLO constants (hundreds of MB -> remote-compile rejects the
-        # payload, and device->host fetches of them block on this transport)
+        # payload, and device->host fetches of them block on this transport).
+        # On the fused path tt/tm are unused (pass None) and tc is the
+        # padded fused-loss target.
         @functools.partial(jax.jit, static_argnames=("cfg",))
         def step_chain(model, opt_state, dstate, cam, tt, tm, tc, n, cfg):
             def body(i, carry):
@@ -295,16 +309,23 @@ def main():
             ntx, nty = tile_grid(width, height, cfg.tile_size)
             self.num_groups = num_groups_for(ntx * nty, cfg)
             self.bins_box = [None]
-            # the tile layout depends on (tile_size, group_tiles): a cfg
-            # that changes either needs its own target tiling (reusing the
-            # default-config tiles shape-mismatches inside train_step)
-            if (cfg.tile_size, cfg.group_tiles) == (config.tile_size,
-                                                    config.group_tiles):
+            if fused:
+                # fused loss: only the padded target; its layout depends on
+                # (tile_size, H, W) alone, so every cfg shares target_pad
+                self.target_tiles, self.target_mask = None, None
+                self.target_img = target_pad
+            elif (cfg.tile_size, cfg.group_tiles) == (config.tile_size,
+                                                      config.group_tiles):
+                # split path: the tile layout depends on (tile_size,
+                # group_tiles); a cfg that changes either needs its own
+                # target tiling
                 self.target_tiles, self.target_mask = target_tiles, target_mask
+                self.target_img = target_chw
             else:
                 self.target_tiles = jax.jit(
                     image_to_tiles, static_argnames="config")(target, cfg)
                 self.target_mask = tile_pixel_mask(height, width, cfg)
+                self.target_img = target_chw
 
         def run_fwd(self, n):
             return host_fetch_scalar(
@@ -321,7 +342,7 @@ def main():
         def run_step(self, n):
             out = self.step_chain(self.model, self.opt_state, self.dstate,
                                   cam, self.target_tiles, self.target_mask,
-                                  target_chw, jnp.int32(n), self.cfg)
+                                  self.target_img, jnp.int32(n), self.cfg)
             return host_fetch_scalar(out[0].means[0, 0])
 
         def compile_all(self, strict=True):
@@ -345,11 +366,13 @@ def main():
 
             phase("fwd", lambda: fwd_chain(self.model, cam, jnp.int32(1),
                                            self.cfg))
-            phase("step (tile L1 + fused SSIM + Adam)", lambda:
+            step_name = ("step (fused tile-space L1+SSIM + Adam)" if fused
+                         else "step (tile L1 + fused SSIM + Adam)")
+            phase(step_name, lambda:
                   self.step_chain(self.model, self.opt_state, self.dstate,
                                   cam, self.target_tiles, self.target_mask,
-                                  target_chw, jnp.int32(1), self.cfg))
-            if "step (tile L1 + fused SSIM + Adam)" in self.compiled:
+                                  self.target_img, jnp.int32(1), self.cfg))
+            if step_name in self.compiled:
                 self.compiled.add("step")
             if self.with_kernel:
                 def _k():
@@ -470,6 +493,60 @@ def main():
             f"COMPILED KERNEL MISMATCH: grads {grad_rel}"
         log("parity gate: PASS (compiled Mosaic == interpret on chip)")
 
+    # --- fused-loss gate: compiled band kernel vs interpret ON THE CHIP --
+    def fused_gate_compile():
+        """Compiled fused photometric loss (value+grad) vs interpret, at a
+        small scale; compiled in phase 1, checked before any timing."""
+        if backend != "tpu" or not fused:
+            return None
+        from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas import (
+            fused_photometric_loss, pad_target_chw,
+        )
+        h, w = 192, 331
+        ntx_g, nty_g = tile_grid(w, h, config.tile_size)
+        ng_g = num_groups_for(ntx_g * nty_g, config)
+        key = jax.random.PRNGKey(5)
+        k1, k2 = jax.random.split(key)
+        tiles_g = jax.random.uniform(
+            k1, (ng_g, 3, config.group_tiles, config.tile_size ** 2))
+        timg = jax.random.uniform(k2, (h, w, 3), jnp.float32)
+        tp = jax.jit(pad_target_chw, static_argnums=(1, 2, 3, 4, 5))(
+            timg, ntx_g, nty_g, config.tile_size, h, w)
+
+        def lg(interp):
+            def f(t):
+                loss, mse = fused_photometric_loss(
+                    t, tp, ntx_g, nty_g, config.tile_size, h, w,
+                    tcfg.ssim_weight, interp)
+                return loss, mse
+            (l, m), g = jax.jit(jax.value_and_grad(f, has_aux=True))(tiles_g)
+            return l, m, g
+
+        lc, mc, gc = lg(False)
+        li, mi, gi = lg(True)
+
+        @jax.jit
+        def diffs(lc, mc, gc, li, mi, gi):
+            return jnp.stack([
+                jnp.abs(lc - li), jnp.abs(mc - mi),
+                jnp.max(jnp.abs(gc - gi)), jnp.max(jnp.abs(gi))])
+        return diffs(lc, mc, gc, li, mi, gi)
+
+    def fused_gate_check(compiled):
+        if compiled is None:
+            return
+        dl = host_fetch_scalar(compiled[0])
+        dm = host_fetch_scalar(compiled[1])
+        dg = host_fetch_scalar(compiled[2])
+        mag = host_fetch_scalar(compiled[3])
+        log(f"fused-loss gate: loss diff {dl:.2e}, mse diff {dm:.2e}, "
+            f"grad maxdiff {dg:.2e} (grad scale {mag:.2e})")
+        assert dl < 1e-5, f"COMPILED FUSED LOSS MISMATCH: loss {dl}"
+        assert dm < 1e-5, f"COMPILED FUSED LOSS MISMATCH: mse {dm}"
+        assert dg < 1e-4 * max(mag, 1e-3), \
+            f"COMPILED FUSED LOSS MISMATCH: grads {dg}"
+        log("fused-loss gate: PASS (compiled band kernel == interpret)")
+
     def pair_demand(model, tag):
         try:
             return _count_pairs_on_cpu(model, cam, config)
@@ -481,6 +558,7 @@ def main():
     log("phase 1: compiling gate + ref-init graphs "
         "(fetch warm-up running in background)")
     gate_compiled = parity_gate_compile()
+    fused_gate_compiled = fused_gate_compile()
     model_ref = init_from_points(xyz, rgb)
     wl_ref = Workload("ref-init", model_ref, config)
     wl_ref.compile_all()
@@ -516,6 +594,7 @@ def main():
     # ================= phase 2: gate, then time, then PUBLISH ===========
     join_warm()
     parity_gate_check(gate_compiled)
+    fused_gate_check(fused_gate_compiled)
     log("phase 2: timing ref-init workload ...")
     ref = wl_ref.time_all()
     # the r02-comparable number rides IN the headline JSON when the budget
@@ -553,6 +632,7 @@ def main():
                                  if ref["kernel_s"] is not None else None),
         "ref_pairs": pairs_ref,
         "l1_step_mpix_s": (round(mpix / l1_s, 2) if l1_s else None),
+        "loss_path": "fused" if fused else "split",
         "parity_gate": "pass" if backend == "tpu" else "n/a (interpret)",
     }
     print(json.dumps(result), flush=True)

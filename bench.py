@@ -736,13 +736,15 @@ def main():
             pairs_knn = pair_demand(model_knn, "knn-init")
             config_knn = config
             if pairs_knn is not None:
-                # The training STEP at the full ~29M-pair demand exceeds the
-                # chip's HLO-temp ceiling (fwd + cotangent record streams +
-                # backward sorts). Cap the pool at ~16M pairs: enough to be
-                # honest about density (the default pool truncates to 0.7%
-                # of demand; this keeps >50%, far tail dropped per the pool
-                # policy) while the full step still compiles and runs.
-                pair_cap = 16 << 20
+                # Round 4 capped the pool at 16M pairs (58% of demand)
+                # because the backward exceeded the chip's HLO-temp
+                # ceiling. Round 5's lean feature-major backward (gradient
+                # rows only + no fine_ex copy, ops/binning.py) cut the peak
+                # by ~40%, so the default cap now admits the FULL ~29M-pair
+                # demand; the env knob remains as the fallback if a future
+                # workload needs a smaller pool.
+                pair_cap = int(os.environ.get("GSTPU_KNN_PAIR_CAP",
+                                              32 << 20))
                 ppg = -(-min(int(pairs_knn * 1.05), pair_cap) // n_gauss)
                 # small groups cut the one-hot matmul cost that dominates at
                 # this density; batch more of them per grid step so the

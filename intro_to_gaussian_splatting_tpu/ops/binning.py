@@ -210,40 +210,56 @@ def _gather_pairs_fm_fwd(records_rank, sorted_rank, sx, sy, tile_f, lo, hi):
                             lo, hi), (sorted_rank, lo, hi)
 
 
+# Record rows that can carry a nonzero pair-gradient. The rasterizer
+# backward writes EXACT zeros for the bbox, tile-id and constant-one rows
+# (rasterize_pallas._bwd_group builds d_chunk with zero columns there), and
+# pair_records has no other differentiable consumer, so the feature-major
+# backward sorts/scans only these 10 of 16 rows -- the peak-memory term at
+# dense pair counts (the 29M-pair honest-dense step previously exceeded the
+# chip's HLO-temp ceiling, PERF.md).
+_GRAD_ROWS = (P.REC_MEAN_X, P.REC_MEAN_Y, P.REC_CONIC_A, P.REC_CONIC_B,
+              P.REC_CONIC_C, P.REC_OPACITY, P.REC_COLOR_R, P.REC_COLOR_G,
+              P.REC_COLOR_B, P.REC_DEPTH)
+
+
 def _gather_pairs_fm_bwd(res, g):
     sorted_rank, lo, hi = res
     f, mp = g.shape
-    # emission order via stable sorts (dense 1-D operands only). Two
-    # half-width sorts instead of one 17-operand sort: each stable sort of
-    # the same key yields the identical permutation, and the in+out
-    # operand footprint (the peak-memory term at 30M pairs) halves.
-    # localization chain rule: tile-id rows are constant overwrites (zero
-    # gradient to records), shift rows pass through unchanged
-    _, _, is_tile = _loc_masks()
-    half = f // 2
+    # emission order via stable sorts (dense 1-D operands only), gradient
+    # rows only, in two half-width batches: each stable sort of the same
+    # key yields the identical permutation, and the in+out operand
+    # footprint (the peak-memory term at 30M pairs) stays bounded.
+    act = list(_GRAD_ROWS)
+    fa = len(act)
     g_em = []
-    for lo_c, hi_c in ((0, half), (half, f)):
-        ops = (sorted_rank,) + tuple(g[c] * (1.0 - float(is_tile[c]))
-                                     for c in range(lo_c, hi_c))
+    for rows in (act[:fa // 2], act[fa // 2:]):
+        ops = (sorted_rank,) + tuple(g[c] for c in rows)
         g_em.extend(jax.lax.sort(ops, dimension=0, is_stable=True,
                                  num_keys=1)[1:])
-    g_em = jnp.stack(g_em, axis=0)                           # (F, MP)
+    g_em = jnp.stack(g_em, axis=0)                           # (FA, MP)
     b = _CUM_BLOCK
     nb = -(-mp // b)
     gp = jnp.pad(g_em, ((0, 0), (0, (nb + 1) * b - mp)))
-    fine = jnp.cumsum(gp.reshape(f, nb + 1, b), axis=2)
-    totals = fine[:, :, -1]                                  # (F, NB+1)
+    fine = jnp.cumsum(gp.reshape(fa, nb + 1, b), axis=2)
+    totals = fine[:, :, -1]                                  # (FA, NB+1)
     coarse = jnp.cumsum(totals, axis=1) - totals             # exclusive
-    fine_ex = jnp.concatenate(
-        [jnp.zeros((f, nb + 1, 1), g.dtype), fine[:, :, :-1]], axis=2)
-    fine_flat = fine_ex.reshape(f, (nb + 1) * b)
+    fine_flat = fine.reshape(fa, (nb + 1) * b)
+
+    def excl_at(idx):
+        # exclusive intra-block prefix WITHOUT materializing a second
+        # full-stream fine_ex copy (~2 GB at 30M pairs): the exclusive
+        # value at flat index i is 0 on a block boundary, else fine[i-1]
+        v = jnp.take(fine_flat, jnp.maximum(idx - 1, 0), axis=1)
+        return jnp.where((idx % b == 0)[None, :], 0.0, v)
 
     chi = jnp.take(coarse, hi // b, axis=1)
     clo = jnp.take(coarse, lo // b, axis=1)
-    fhi = jnp.take(fine_flat, hi, axis=1)
-    flo = jnp.take(fine_flat, lo, axis=1)
-    d_records = ((chi - clo) + (fhi - flo)).T                # (N, F)
-    return d_records, None, None, None, None, None, None
+    d_act = (chi - clo) + (excl_at(hi) - excl_at(lo))        # (FA, N)
+    d_records = jnp.zeros((f, lo.shape[0]), g.dtype)
+    for i, c in enumerate(act):
+        d_records = jax.lax.dynamic_update_slice(
+            d_records, d_act[i:i + 1], (c, 0))
+    return d_records.T, None, None, None, None, None, None   # (N, F)
 
 
 _gather_pairs_fm.defvjp(_gather_pairs_fm_fwd, _gather_pairs_fm_bwd)

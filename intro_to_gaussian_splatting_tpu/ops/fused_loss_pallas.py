@@ -51,16 +51,26 @@ from intro_to_gaussian_splatting_tpu.ops.ssim_pallas import (
     _HALO, _hblur, _interp_default, _kern, _moments, _ssim_terms, _vblur,
 )
 
-_BR = 64          # output pixel rows per band (= 4 tile rows at ts=16)
+import os
+
+# Output pixel rows per band. Mosaic's compile time grows SUPERLINEARLY
+# with per-program work at large widths (measured at treehill width 5068:
+# BR=32 compiles in ~7 min, BR=64 exceeded 40 min); 32 keeps the one-time
+# compile tractable at a modest runtime cost (halo recompute fraction
+# 54/32 vs 86/64 rows). Raise via env on toolchains with faster Mosaic.
+_BR = int(os.environ.get("GSTPU_FUSED_BR", "32"))
 _TOP = 16         # halo rows above/below (= 1 tile row; >= _HALO)
+_TRO = _BR // 16  # output tile rows per band
+_TRI = _TRO + 2   # input tile rows per band (1 halo row each side)
 
 
 def _layout(ntx: int, nty: int, ts: int, h: int, w: int):
     assert ts == 16, "fused loss kernel assumes 16px tiles (config default)"
     assert h > _HALO and w > _HALO, "image smaller than the SSIM window"
+    assert _BR % ts == 0 and _BR >= ts
     ntxp = ((ntx + 7) // 8) * 8      # 8-aligned tile-row stride
     nb = -(-h // _BR)                # pixel bands
-    t_rows = 4 * nb + 2              # 1 top pad + 4*nb + 1 bottom halo
+    t_rows = _TRO * nb + 2           # 1 top pad + out rows + bottom halo
     wp = ntxp * ts                   # merged row width (multiple of 128)
     ht = _BR * nb + 2 * _TOP         # padded target height
     return ntxp, nb, t_rows, wp, ht
@@ -72,17 +82,17 @@ def flatten_tiles(tiles3: jax.Array, ntx: int, nty: int, ts: int,
     ng, c, gt, pix = tiles3.shape
     f = tiles3.transpose(1, 0, 2, 3).reshape(c, ng * gt, pix)[:, :nty * ntx]
     f = f.reshape(c, nty, ntx, pix)
-    t_rows = 4 * nb + 2
+    t_rows = _TRO * nb + 2
     f = jnp.pad(f, ((0, 0), (1, t_rows - 1 - nty), (0, ntxp - ntx), (0, 0)))
     return f.reshape(c, t_rows * ntxp, pix)
 
 
 def unflatten_grad(dflat: jax.Array, ng: int, gt: int, ntx: int, nty: int,
                    nb: int, ntxp: int) -> jax.Array:
-    """Adjoint of ``flatten_tiles`` for the kernel's (3, 4*nb*NTXP, pix)
+    """Adjoint of ``flatten_tiles`` for the kernel's (3, TRO*nb*NTXP, pix)
     gradient stream (which carries no top-pad row)."""
     c, _, pix = dflat.shape
-    d = dflat.reshape(c, 4 * nb, ntxp, pix)[:, :nty, :ntx]
+    d = dflat.reshape(c, _TRO * nb, ntxp, pix)[:, :nty, :ntx]
     d = d.reshape(c, nty * ntx, pix)
     d = jnp.pad(d, ((0, 0), (0, ng * gt - nty * ntx), (0, 0)))
     return d.reshape(c, ng, gt, pix).transpose(1, 0, 2, 3)
@@ -102,13 +112,13 @@ def pad_target_chw(target: jax.Array, ntx: int, nty: int, ts: int,
 def _loss_kernel(pred_hbm, targ_hbm, dflat_ref, sums_ref, pv, tv, sem, *,
                  ntxp, ts, h, w, wp, c1, c2, kern, s_l1, s_ssim, nb):
     j = pl.program_id(0)
-    rows_t = 6 * ntxp               # 6 tile rows: 4 out + 1 halo each side
-    rows_i = _BR + 2 * _TOP         # 96 target image rows
+    rows_t = _TRI * ntxp            # input tile rows: out + 1 halo each side
+    rows_i = _BR + 2 * _TOP         # target image rows
 
     def dmas(band, slot):
         return (
             pltpu.make_async_copy(
-                pred_hbm.at[:, pl.ds(band * 4 * ntxp, rows_t), :],
+                pred_hbm.at[:, pl.ds(band * _TRO * ntxp, rows_t), :],
                 pv.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(
                 targ_hbm.at[:, pl.ds(band * _BR, rows_i), :],
@@ -149,10 +159,10 @@ def _loss_kernel(pred_hbm, targ_hbm, dflat_ref, sums_ref, pv, tv, sem, *,
     ssim_acc = jnp.zeros((), jnp.float32)
     mse_acc = jnp.zeros((), jnp.float32)
     for c in range(3):
-        # merge the 6 tile rows into 96 image rows (VMEM transposes only)
+        # merge the input tile rows into image rows (VMEM transposes only)
         x = jnp.concatenate(
             [_merge(pv[slot, c, r * ntxp:(r + 1) * ntxp, :], ntxp, ts)
-             for r in range(6)], axis=0)                     # (96, wp)
+             for r in range(_TRI)], axis=0)                  # (rows_i, wp)
         y = tv[slot, c]                                      # (96, wp)
         X, Y, X2, Y2, XY = _moments(x, y, tops, kern)
         n1, n2, d1, d2 = _ssim_terms(X, Y, X2, Y2, XY, c1, c2)
@@ -174,8 +184,8 @@ def _loss_kernel(pred_hbm, targ_hbm, dflat_ref, sums_ref, pv, tv, sem, *,
         mse_acc = mse_acc + jnp.sum(diff * diff)
         g = (s_ssim * (bA + 2.0 * xc * bM2 + yc * bXY)
              + s_l1 * jnp.sign(diff)) * pvalid
-        # split the 64 gradient rows back into 4 tile rows
-        for r in range(4):
+        # split the gradient rows back into output tile rows
+        for r in range(_TRO):
             dflat_ref[c, r * ntxp:(r + 1) * ntxp, :] = _split(
                 g[r * ts:(r + 1) * ts, :], ntxp, ts)
 
@@ -214,17 +224,17 @@ def _run_kernel(pred_flat, targ_pad, ntx, nty, ts, h, w, ssim_weight,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
-            pl.BlockSpec((3, 4 * ntxp, pix), lambda j: (0, j, 0),
+            pl.BlockSpec((3, _TRO * ntxp, pix), lambda j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, 4 * nb * ntxp, pix), jnp.float32),
+            jax.ShapeDtypeStruct((3, _TRO * nb * ntxp, pix), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, 6 * ntxp, pix), jnp.float32),
+            pltpu.VMEM((2, 3, _TRI * ntxp, pix), jnp.float32),
             pltpu.VMEM((2, 3, _BR + 2 * _TOP, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

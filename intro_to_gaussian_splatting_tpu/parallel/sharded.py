@@ -122,9 +122,18 @@ def ring_hop_pairs(max_pairs_local: int, g_size: int,
     """Default per-hop emission slab for the ring: ~4x the balanced share
     of the strip's pair budget, so each hop's buffer write is O(slab)
     instead of O(max_pairs) -- total ring write traffic O(4*MP) rather
-    than O(gauss_axis * MP). Uneven shard->strip distributions that
-    exceed the slab drop pairs and raise `overflowed`; small gauss axes
-    degrade to the full budget (exactness preserved)."""
+    than O(gauss_axis * MP). Small gauss axes degrade to the full budget
+    (exactness preserved).
+
+    CAVEAT (skew): the slab caps what ONE shard may contribute to a strip
+    in ONE hop. A shard->strip distribution skewed beyond 4x the balanced
+    share drops that hop's overflow in ARRIVAL order (not the global
+    far-to-near policy) and raises ``overflowed`` even when the strip's
+    total demand fits ``max_pairs_local`` -- the slab size is a static
+    buffer shape, so it cannot adapt to the pass-1 histogram at runtime.
+    Recovery is the same as every other overflow: the Trainer observes the
+    flag and doubles the pool (which scales the slab with it), or callers
+    pass an explicit ``hop_pairs`` >= the known worst per-shard demand."""
     from intro_to_gaussian_splatting_tpu.ops.binning import round_up
     h = min(max_pairs_local,
             max(4 * max_pairs_local // max(g_size, 1), 2 * rcfg.chunk_size))

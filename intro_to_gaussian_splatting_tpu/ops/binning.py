@@ -349,11 +349,30 @@ def bin_gaussians(
         1, mode="drop")                   # offsets >= MP_alloc fall off
     rank = jnp.clip(jnp.cumsum(marks), 0, n - 1)                # (MP,) depth rank
     geom = jnp.stack([offsets[:-1], span_x, tx0, ty0], axis=1)  # (N, 4)
-    gp = jnp.take(geom, rank, axis=0)                           # (MP, 4)
-    k = p - gp[:, 0]
-    dx = k % jnp.maximum(gp[:, 1], 1)
-    dy = k // jnp.maximum(gp[:, 1], 1)
-    tile_id = (gp[:, 3] + dy) * ntx + (gp[:, 2] + dx)
+
+    def _decode_tile(gp_rows, pp):
+        k = pp - gp_rows[:, 0]
+        dx = k % jnp.maximum(gp_rows[:, 1], 1)
+        dy = k // jnp.maximum(gp_rows[:, 1], 1)
+        return (gp_rows[:, 3] + dy) * ntx + (gp_rows[:, 2] + dx)
+
+    if mp_alloc > _FM_PAIR_THRESHOLD:
+        # the (MP, 4) row gather tiles as T(8,128): its 4-wide minor dim
+        # pads 32x (observed: 15 GB of HLO temp at the 31M-pair
+        # honest-dense pool). Slab it like the record gather so the padded
+        # temp stays ~1 GB (mp_alloc is slab-rounded above).
+        def body(s, tid):
+            o = s * _FM_SLAB
+            rk = jax.lax.dynamic_slice(rank, (o,), (_FM_SLAB,))
+            pp = jax.lax.dynamic_slice(p, (o,), (_FM_SLAB,))
+            t = _decode_tile(jnp.take(geom, rk, axis=0), pp)
+            return jax.lax.dynamic_update_slice(tid, t, (o,))
+
+        tile_id = jax.lax.fori_loop(
+            0, mp_alloc // _FM_SLAB, body,
+            jnp.zeros((mp_alloc,), jnp.int32))
+    else:
+        tile_id = _decode_tile(jnp.take(geom, rank, axis=0), p)
     emitted = p < total_emit
     # sentinel id for non-emitted slots: sorts after every real tile AND
     # falls outside every group's [g*GT, (g+1)*GT) range, so the rasterizer

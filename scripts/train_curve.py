@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--cameras", type=int, default=4)
     ap.add_argument("--true-n", type=int, default=60_000)
     ap.add_argument("--init-n", type=int, default=12_000)
+    ap.add_argument("--camera-batch", type=int, default=1,
+                    help="multi-camera batch DP: B cameras per optimizer "
+                         "step in ONE on-device scan -- amortizes the "
+                         "per-step host dispatch (which dominates wall "
+                         "time on tunneled transports)")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +103,7 @@ def main():
         densify_start=100, densify_stop=args.steps - 100,
         densify_interval=100, opacity_reset_interval=0,
         capacity_multiplier=6.0, sh_degree=0,
+        camera_batch=args.camera_batch,
     )
     model = init_from_points(
         xyz_i, rgb_i, sh_degree=0, color_space="sh",
@@ -131,6 +137,7 @@ def main():
         final_psnr=round(psnrs[-1], 3),
         final_active=int(rows[-1]["num_active"]),
         pairs_per_gaussian=trainer.rcfg.pairs_per_gaussian,
+        camera_batch=args.camera_batch,
     )
     with open(args.out, "a") as f:
         f.write(json.dumps(summary) + "\n")

@@ -120,6 +120,53 @@ def test_compiled_ssim_matches_interpret(scene):
         f"SSIM grad compiled vs interpret {d['g']}"
 
 
+def test_compiled_fused_loss_matches_interpret(scene):
+    """Fused tile-space photometric loss (merge + L1 + SSIM value+grad in
+    one band pass) compiled vs interpret on the chip, at a ragged size
+    (non-multiple-of-band height, non-multiple-of-8 tile columns)."""
+    from intro_to_gaussian_splatting_tpu.ops.binning import (
+        num_groups_for, tile_grid,
+    )
+    from intro_to_gaussian_splatting_tpu.ops.fused_loss_pallas import (
+        fused_photometric_loss, pad_target_chw,
+    )
+    from intro_to_gaussian_splatting_tpu.utils.fetch import host_fetch
+
+    h, w, ts = 403, 517, CFG.tile_size
+    ntx, nty = tile_grid(w, h, ts)
+    ng = num_groups_for(ntx * nty, CFG)
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    tiles = jax.random.uniform(k1, (ng, 3, CFG.group_tiles, ts * ts))
+    target = jax.random.uniform(k2, (h, w, 3), jnp.float32)
+    tpad = jax.jit(pad_target_chw, static_argnums=(1, 2, 3, 4, 5))(
+        target, ntx, nty, ts, h, w)
+
+    def lvg(interpret):
+        def f(t):
+            loss, mse = fused_photometric_loss(t, tpad, ntx, nty, ts, h, w,
+                                               0.2, interpret)
+            return loss, mse
+        (l, m), g = jax.jit(jax.value_and_grad(f, has_aux=True))(tiles)
+        return l, m, g
+
+    lc, mc, gc = lvg(False)
+    li, mi, gi = lvg(True)
+
+    @jax.jit
+    def diffs(lc, mc, gc, li, mi, gi):
+        return dict(l=jnp.abs(lc - li), m=jnp.abs(mc - mi),
+                    g=_maxabs(gc - gi), gmag=_maxabs(gi),
+                    lmag=jnp.abs(li))
+
+    d = host_fetch(diffs(lc, mc, gc, li, mi, gi))
+    assert float(d["lmag"]) > 1e-3, "degenerate loss value"
+    assert float(d["l"]) < 1e-5, f"fused loss compiled vs interpret {d['l']}"
+    assert float(d["m"]) < 1e-5, f"fused mse compiled vs interpret {d['m']}"
+    assert float(d["g"]) < 1e-5 * max(float(d["gmag"]), 1e-3), \
+        f"fused grad compiled vs interpret {d['g']}"
+
+
 @pytest.mark.parametrize("cfg", [CFG, CFG_DENSE],
                          ids=["default", "gt16"])
 def test_compiled_backward_matches_interpret(scene, cfg):

@@ -245,7 +245,7 @@ def test_ring_overflow_drops_global_far_tail(mesh):
     mp_local = 4
 
     def f(model_shard, cam):
-        strip, ovf, _ = _render_strip(
+        strip, ovf, _, _ = _render_strip(
             model_shard, cam, RCFG, strip_rows, None, True, ring=True,
             max_pairs_local=mp_local)
         return strip, ovf[None]

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""TPU probe: split3 vs highest one-hot accumulation in the rasterizer.
+"""TPU probe: rasterizer kernel timing across (group_tiles, groups_per_step).
 
 Times the bare rasterizer kernel (fwd and fwd+bwd) at treehill ref-init
-scale for accum_precision in {highest, split3} x groups_per_step in {4, 8},
-and checks split3-vs-highest output/grad parity on the chip. Guides the
-roofline work (VERDICT round-4 item 2).
+scale across kernel shape knobs. An earlier revision also swept
+accum_precision (split3 vs highest vs default) -- those measurements, now
+recorded in PERF.md, showed the one-hot matmul pass count is ~0.6 ms of a
+9.4 ms kernel and split3's VPU decomposition costs more than it saves, so
+"highest" remains the default.
 
 Usage: python scripts/probe_split3.py   (TPU; several minutes of compiles)
 """

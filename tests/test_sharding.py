@@ -101,6 +101,15 @@ def test_sharded_train_step_decreases_loss(mesh, ring):
     # the probe accumulated screen-space gradient statistics
     assert float(jnp.sum(dstate.count)) > 0
     assert float(jnp.max(dstate.grad_accum)) > 0.0
+    # ring communication accounting (weak-scaling evidence, VERDICT r4 #5):
+    # every step reports global pair demand/admission and per-device ring
+    # traffic; the all_gather path reports its replication traffic too
+    demand = float(metrics["ring_demand"])
+    emitted = float(metrics["ring_emitted"])
+    ring_bytes = float(metrics["ring_bytes_per_device"])
+    assert demand >= emitted >= 0.0, (demand, emitted)
+    assert emitted > 0.0
+    assert ring_bytes > 0.0
 
 
 @pytest.mark.parametrize("ring,ssim_weight", [(False, 0.0), (True, 0.0),

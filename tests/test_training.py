@@ -276,6 +276,43 @@ def test_camera_batch_equals_mean_gradient():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_trainer_camera_batch_ragged_groups():
+    """camera_batch not dividing the camera count: the last group wraps
+    around (deterministic groups, so the stacked-target cache still hits)."""
+    from intro_to_gaussian_splatting_tpu.config import TrainConfig
+    from tests.scenes import small_scene
+
+    raw, cam, model = small_scene(n=20, width=32, height=32, seed=2)
+    cams = [small_scene(n=20, width=32, height=32, seed=s)[1]
+            for s in (2, 3, 4)]
+    target = np.asarray(render_tiled(model, cam, RCFG, interpret=True))
+    tcfg = TrainConfig(iterations=4, densify_start=10 ** 9,
+                       opacity_reset_interval=0, ssim_weight=0.0,
+                       camera_batch=2)
+    trainer = Trainer(model=model, cameras=cams,
+                      targets=[target.copy() for _ in cams],
+                      scene_extent=1.0, rcfg=RCFG, tcfg=tcfg, log_every=2)
+    hist = trainer.run(4)      # 2 groups: (0,1) and (2,0)
+    assert np.isfinite(hist[-1]["loss"])
+    # exactly ceil(3/2)=2 distinct stacked groups were built and cached
+    keys = [k for k in trainer._tiled if isinstance(k, tuple)
+            and k and k[0] == "batch"]
+    assert sorted(keys) == [("batch", 0, 1), ("batch", 2, 0)], keys
+
+
+def test_host_fetch_scalars_one_fused_transfer():
+    """host_fetch_scalars returns every value as float and preserves the
+    dict's keys (the trainer's logging contract)."""
+    from intro_to_gaussian_splatting_tpu.utils.fetch import (
+        host_fetch_scalars,
+    )
+    d = dict(a=jnp.float32(1.5), b=jnp.int32(7), c=jnp.asarray(True),
+             n=jnp.asarray(-2.25))
+    out = host_fetch_scalars(d)
+    assert out == {"a": 1.5, "b": 7.0, "c": 1.0, "n": -2.25}
+    assert all(isinstance(v, float) for v in out.values())
+
+
 def test_trainer_runs_camera_batched():
     """Trainer.run with tcfg.camera_batch > 1 optimizes and logs."""
     from intro_to_gaussian_splatting_tpu.config import TrainConfig

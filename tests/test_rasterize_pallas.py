@@ -207,6 +207,45 @@ def test_gather_pairs_vjp_matches_scatter_add():
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=1e-3)
 
 
+def test_pair_gradient_zero_rows_invariant():
+    """The rasterizer backward must write EXACT zeros into the bbox, tile
+    and constant-one record rows: ops/binning._gather_pairs_fm_bwd relies
+    on it (it sorts/scans only binning._GRAD_ROWS -- the memory-lean path
+    for dense pools). If a kernel change ever routes gradient into another
+    row, this must fail loudly rather than silently dropping gradient."""
+    from intro_to_gaussian_splatting_tpu.ops import projection as P
+    from intro_to_gaussian_splatting_tpu.ops.binning import (
+        _GRAD_ROWS, bin_gaussians, num_groups_for, tile_grid,
+    )
+    from intro_to_gaussian_splatting_tpu.ops.projection import (
+        project_gaussians,
+    )
+    from intro_to_gaussian_splatting_tpu.ops.rasterize_pallas import (
+        rasterize_pairs,
+    )
+
+    raw, cam, model = small_scene(n=80, width=48, height=48, seed=33,
+                                  scale_hi=0.3, opacity_hi=4.0)
+    cfg = CFG
+    ntx, nty = tile_grid(cam.width, cam.height, cfg.tile_size)
+    ng = num_groups_for(ntx * nty, cfg)
+    proj = project_gaussians(model, cam, cfg)
+    bins = bin_gaussians(proj, cam.width, cam.height, cfg)
+
+    def loss(records):
+        tiles = rasterize_pairs(records, bins.group_starts, ng, cfg, True)
+        return jnp.sum(tiles[:, :4] ** 2)
+
+    drec = np.asarray(jax.grad(loss)(bins.pair_records))   # (16, MP)
+    zero_rows = sorted(set(range(P.NUM_REC_ROWS)) - set(_GRAD_ROWS))
+    assert zero_rows == [P.REC_MIN_X, P.REC_MAX_X, P.REC_MIN_Y,
+                         P.REC_MAX_Y, P.REC_TILE, P.REC_ONE]
+    assert np.abs(drec[zero_rows]).max() == 0.0, \
+        "gradient leaked into a row _gather_pairs_fm_bwd does not carry"
+    assert np.abs(drec[list(_GRAD_ROWS)]).max() > 0.0, \
+        "no gradient at all -- degenerate test scene"
+
+
 def test_feature_major_gather_path_matches(monkeypatch):
     """The large-pool feature-major gather (slabbed forward + stable-sort
     backward, ops/binning._gather_pairs_fm) must be numerically identical

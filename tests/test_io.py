@@ -150,3 +150,30 @@ def test_load_scene_accepts_sparse_dir_directly(tmp_path):
         assert len(scene.cameras) == 2, arg
         assert all(t is not None for t in scene.targets), arg
         assert scene.targets[0].shape == (32, 48, 3)
+
+
+def test_load_scene_numeric_scene_root(tmp_path):
+    """A scene whose OWN directory name is numeric (e.g. /data/360) with
+    the model files directly inside must resolve images to <scene>/images,
+    not the parent's: only numeric components UNDER a 'sparse' dir are
+    stripped when deriving the image root."""
+    import shutil
+
+    from intro_to_gaussian_splatting_tpu.io.dataset import load_scene
+    from intro_to_gaussian_splatting_tpu.io.synthetic import make_colmap_scene
+
+    staged = str(tmp_path / "staged")
+    make_colmap_scene(staged, num_points=100, num_cameras=2, width=48,
+                      height=32, seed=3, write_images=True)
+    root = tmp_path / "360"           # numeric scene dir
+    root.mkdir()
+    for f in (tmp_path / "staged" / "sparse" / "0").iterdir():
+        shutil.copy(f, root / f.name)           # model files directly inside
+    shutil.copytree(str(tmp_path / "staged" / "images"),
+                    str(root / "images"))
+    # a DIFFERENT decoy images dir at the parent level must NOT be used
+    (tmp_path / "images").mkdir()
+
+    scene = load_scene(str(root))
+    assert len(scene.cameras) == 2
+    assert all(t is not None for t in scene.targets)

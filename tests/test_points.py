@@ -102,6 +102,13 @@ def test_keypoint_overlay_matches_stored_keypoints(tmp_path):
         r = keypoint_reprojection_report(points, cam_rec, im)
         assert r["n_matched"] == r["n_keypoints"] == n_checked
         assert r["max_px"] < 0.05
+        # downscale must stay scale-consistent: the report projects at
+        # full resolution and rescales, so no (d-1)/d px systematic
+        # offset appears (ndc2Pix scales by (dim-1)/2, not dim/2)
+        r2 = keypoint_reprojection_report(points, cam_rec, im, downscale=2)
+        assert r2["n_matched"] == n_checked
+        assert r2["max_px"] < 0.05, \
+            f"downscaled report carries a systematic offset: {r2}"
 
     # noisy keypoints (a real bundle adjustment) show up in the report
     sparse_n = make_colmap_scene(str(tmp_path / "noisy"), num_points=200,
